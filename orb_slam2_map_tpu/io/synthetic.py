@@ -1,0 +1,244 @@
+"""Synthetic RGB-D world: a ray-cast textured box room with ground truth.
+
+The evaluation environment ships no TUM/KITTI image data, so integration
+tests and the benchmark run on this generator: a camera moving inside a
+textured box, rendered analytically (plane intersection per pixel), which
+yields *geometrically exact* RGB + depth + ground-truth trajectories. It
+plays the role of the reference's dataset fixtures
+(reference: Examples/RGB-D/associations/*, SURVEY.md §4.2) while also
+providing ground truth for built-in ATE evaluation.
+
+Rendering is a jitted JAX program (one fused elementwise pass over pixels,
+TPU-friendly), so long benchmark sequences are cheap to produce on device.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..geom.camera import PinholeCamera
+
+
+def synthetic_camera(width: int = 640, height: int = 480) -> PinholeCamera:
+    """Distortion-free TUM-like intrinsics for synthetic sequences."""
+    return PinholeCamera(
+        fx=517.3, fy=516.5, cx=(width - 1) / 2.0, cy=(height - 1) / 2.0,
+        width=width, height=height, bf=40.0, fps=30.0, th_depth=50.0,
+    )
+
+
+def _make_textures(key, n_faces: int, coarse: int, fine: int):
+    k1, k2, k3 = jax.random.split(key, 3)
+    coarse_tex = jax.random.uniform(k1, (n_faces, coarse, coarse, 3))
+    fine_tex = jax.random.uniform(k2, (n_faces, fine, fine, 3))
+    # A sparse set of bright blobs adds strong isolated corners.
+    blob_tex = (jax.random.uniform(k3, (n_faces, fine, fine, 1)) > 0.985).astype(
+        jnp.float32
+    )
+    return coarse_tex, fine_tex, blob_tex
+
+
+class SyntheticWorld:
+    """Textured axis-aligned box room [0,Lx]x[0,Ly]x[0,Lz], y-up.
+
+    render(Twc) -> (gray f32 [H,W] in [0,255], depth f32 [H,W] meters,
+    rgb u8 [H,W,3]).
+    """
+
+    def __init__(self, cam: Optional[PinholeCamera] = None,
+                 size=(6.0, 3.0, 6.0), seed: int = 0,
+                 coarse_texels_per_m: float = 8.0,
+                 fine_texels_per_m: float = 40.0):
+        self.cam = cam or synthetic_camera()
+        self.size = np.asarray(size, dtype=np.float32)
+        key = jax.random.PRNGKey(seed)
+        # 256 texels tile; sampled with wraparound at the chosen densities.
+        self.coarse_tex, self.fine_tex, self.blob_tex = _make_textures(
+            key, 6, 256, 512
+        )
+        self.coarse_scale = coarse_texels_per_m
+        self.fine_scale = fine_texels_per_m
+        self._render = jax.jit(functools.partial(_render_box,
+                                                 cam=self.cam,
+                                                 size=tuple(float(s) for s in size)))
+
+    def render(self, Twc: np.ndarray):
+        gray, depth, rgb = self._render(
+            jnp.asarray(Twc, dtype=jnp.float32),
+            self.coarse_tex, self.fine_tex, self.blob_tex,
+            self.coarse_scale, self.fine_scale,
+        )
+        return (np.asarray(gray), np.asarray(depth),
+                np.asarray(rgb))
+
+
+def _render_box(Twc, coarse_tex, fine_tex, blob_tex, coarse_scale, fine_scale,
+                *, cam: PinholeCamera, size):
+    H, W = cam.height, cam.width
+    Lx, Ly, Lz = size
+    R = Twc[:3, :3]
+    o = Twc[:3, 3]
+
+    u = jnp.arange(W, dtype=jnp.float32)[None, :]
+    v = jnp.arange(H, dtype=jnp.float32)[:, None]
+    dx = (u - cam.cx) / cam.fx
+    dy = (v - cam.cy) / cam.fy
+    dx = jnp.broadcast_to(dx, (H, W))
+    dy = jnp.broadcast_to(dy, (H, W))
+    ones = jnp.ones((H, W), dtype=jnp.float32)
+    d_cam = jnp.stack([dx, dy, ones], axis=-1)            # [H,W,3], z=1
+    d_world = jnp.einsum("ij,hwj->hwi", R, d_cam)          # [H,W,3]
+
+    L = (float(Lx), float(Ly), float(Lz))
+    eps = 1e-6
+    best_t = jnp.full((H, W), 1e9, dtype=jnp.float32)
+    best_face = jnp.zeros((H, W), dtype=jnp.int32)
+
+    for axis in range(3):
+        d_a = d_world[..., axis]
+        safe_d = jnp.where(jnp.abs(d_a) < eps, eps, d_a)
+        for side, plane in ((0, 0.0), (1, L[axis])):
+            t = (plane - o[axis]) / safe_d
+            hit = o[None, None, :] + t[..., None] * d_world
+            oth = [a for a in range(3) if a != axis]
+            inside = (
+                (t > 1e-3)
+                & (hit[..., oth[0]] >= -1e-3) & (hit[..., oth[0]] <= L[oth[0]] + 1e-3)
+                & (hit[..., oth[1]] >= -1e-3) & (hit[..., oth[1]] <= L[oth[1]] + 1e-3)
+            )
+            t_valid = jnp.where(inside, t, 1e9)
+            face_id = axis * 2 + side
+            update = t_valid < best_t
+            best_t = jnp.where(update, t_valid, best_t)
+            best_face = jnp.where(update, face_id, best_face)
+
+    # depth along the optical axis = t (ray z-component in camera frame is 1)
+    depth = jnp.where(best_t < 1e8, best_t, 0.0)
+    hit = o[None, None, :] + best_t[..., None] * d_world
+
+    # face-local 2D coords: the two non-normal axes
+    axis_of_face = best_face // 2
+    coords = []
+    for a in range(3):
+        oth = [b for b in range(3) if b != a]
+        coords.append(jnp.stack([hit[..., oth[0]], hit[..., oth[1]]], axis=-1))
+    uv_face = jnp.where(
+        (axis_of_face == 0)[..., None], coords[0],
+        jnp.where((axis_of_face == 1)[..., None], coords[1], coords[2]),
+    )
+
+    def sample(tex, scale):
+        n = tex.shape[1]
+        iu = jnp.mod((uv_face[..., 0] * scale).astype(jnp.int32), n)
+        iv = jnp.mod((uv_face[..., 1] * scale).astype(jnp.int32), n)
+        return tex[best_face, iu, iv]                      # [H,W,C]
+
+    col = (0.45 * sample(coarse_tex, coarse_scale)
+           + 0.35 * sample(fine_tex, fine_scale)
+           + 0.5 * sample(blob_tex, fine_scale))
+    col = jnp.clip(col, 0.0, 1.0)
+    # mild distance shading for realism (keeps texture contrast dominant)
+    shade = 1.0 / (1.0 + 0.02 * best_t * best_t)
+    col = col * (0.25 + 0.75 * jnp.clip(shade, 0.0, 1.0)[..., None])
+    rgb = (col * 255.0).astype(jnp.uint8)
+    gray = (0.299 * col[..., 0] + 0.587 * col[..., 1] + 0.114 * col[..., 2]) * 255.0
+    return gray, depth, rgb
+
+
+def look_at(eye: np.ndarray, target: np.ndarray, up=(0.0, -1.0, 0.0)) -> np.ndarray:
+    """Camera-to-world pose with +z toward target (OpenCV convention:
+    x right, y down, z forward) — hence default up = -Y for a y-up world."""
+    eye = np.asarray(eye, dtype=np.float64)
+    z = np.asarray(target, dtype=np.float64) - eye
+    z = z / (np.linalg.norm(z) + 1e-12)
+    up = np.asarray(up, dtype=np.float64)
+    x = np.cross(up, z)
+    # guard: if view direction ~ parallel to up, pick another up
+    if np.linalg.norm(x) < 1e-6:
+        up = np.array([0.0, 0.0, 1.0])
+        x = np.cross(up, z)
+    x = x / np.linalg.norm(x)
+    y = np.cross(z, x)
+    Twc = np.eye(4)
+    Twc[:3, 0], Twc[:3, 1], Twc[:3, 2], Twc[:3, 3] = x, y, z, eye
+    return Twc
+
+
+def orbit_trajectory(n_frames: int, size=(6.0, 3.0, 6.0),
+                     radius_frac: float = 0.25, height_frac: float = 0.5,
+                     angle_range: float = 2.0 * np.pi,
+                     wobble: float = 0.05, fps: float = 30.0):
+    """Smooth orbit inside the room looking outward past the center.
+    angle_range=2*pi revisits the start (loop-closure sequences);
+    small angle_range gives a gentle fr1/xyz-style sweep.
+    Returns (Twc [N,4,4], timestamps [N])."""
+    Lx, Ly, Lz = size
+    c = np.array([Lx / 2, Ly * height_frac, Lz / 2])
+    r = radius_frac * min(Lx, Lz)
+    Twc = np.zeros((n_frames, 4, 4))
+    for i in range(n_frames):
+        a = angle_range * i / max(n_frames - 1, 1)
+        eye = c + np.array([
+            r * np.sin(a),
+            wobble * Ly * np.sin(3.1 * a),
+            r * np.cos(a),
+        ])
+        # look outward: target on the far wall beyond the orbit
+        tgt = c + np.array([2.5 * r * np.sin(a + 0.35), 0.0, 2.5 * r * np.cos(a + 0.35)])
+        Twc[i] = look_at(eye, tgt)
+    ts = np.arange(n_frames, dtype=np.float64) / fps
+    return Twc, ts
+
+
+def sweep_trajectory(n_frames: int, size=(6.0, 3.0, 6.0),
+                     amplitude: float = 0.4, fps: float = 30.0):
+    """fr1/xyz-style translation-dominant sweep facing one wall."""
+    Lx, Ly, Lz = size
+    base = np.array([Lx / 2, Ly / 2, Lz * 0.35])
+    Twc = np.zeros((n_frames, 4, 4))
+    for i in range(n_frames):
+        ph = 2 * np.pi * i / max(n_frames - 1, 1)
+        eye = base + amplitude * np.array(
+            [np.sin(ph), 0.35 * np.sin(2 * ph), 0.25 * np.cos(ph)]
+        )
+        tgt = np.array([Lx / 2 + 0.6 * amplitude * np.sin(0.5 * ph), Ly / 2, Lz])
+        Twc[i] = look_at(eye, tgt)
+    ts = np.arange(n_frames, dtype=np.float64) / fps
+    return Twc, ts
+
+
+class SyntheticRGBDSequence:
+    """Dataset-like wrapper: iterates (timestamp, gray, depth, rgb) and keeps
+    ground-truth camera-to-world poses in `.gt_Twc`."""
+
+    def __init__(self, world: SyntheticWorld, Twc: np.ndarray,
+                 timestamps: np.ndarray,
+                 depth_noise: float = 0.0, intensity_noise: float = 0.0,
+                 seed: int = 1):
+        self.world = world
+        self.gt_Twc = Twc
+        self.timestamps = timestamps
+        self.depth_noise = depth_noise
+        self.intensity_noise = intensity_noise
+        self.rng = np.random.default_rng(seed)
+
+    def __len__(self):
+        return len(self.timestamps)
+
+    def __getitem__(self, i: int):
+        gray, depth, rgb = self.world.render(self.gt_Twc[i])
+        if self.depth_noise > 0:
+            depth = depth * (
+                1.0 + self.depth_noise * self.rng.standard_normal(depth.shape)
+            ).astype(np.float32)
+        if self.intensity_noise > 0:
+            gray = np.clip(
+                gray + self.intensity_noise * self.rng.standard_normal(gray.shape),
+                0, 255,
+            ).astype(np.float32)
+        return self.timestamps[i], gray, depth, rgb

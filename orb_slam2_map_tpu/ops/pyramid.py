@@ -1,0 +1,94 @@
+"""Image pyramid + Gaussian blur.
+
+Replaces ORBextractor::ComputePyramid (reference: src/ORBextractor.cc:
+1107-1132 — 8 levels, scale 1.2, bilinear resize) and the pre-descriptor
+7x7 sigma=2 Gaussian blur (reference: src/ORBextractor.cc:1084-1090).
+
+All shapes are static Python-side; under jit each level is a separately
+shaped fused XLA program (resize = gather+lerp, blur = depthwise conv on
+the VPU/MXU).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def level_sizes(height: int, width: int, n_levels: int,
+                scale_factor: float) -> List[Tuple[int, int]]:
+    sizes = []
+    for lvl in range(n_levels):
+        s = 1.0 / (scale_factor ** lvl)
+        sizes.append((int(round(height * s)), int(round(width * s))))
+    return sizes
+
+
+def gaussian_kernel1d(ksize: int = 7, sigma: float = 2.0) -> np.ndarray:
+    r = np.arange(ksize) - (ksize - 1) / 2.0
+    k = np.exp(-0.5 * (r / sigma) ** 2)
+    return (k / k.sum()).astype(np.float32)
+
+
+def gaussian_blur(img: jnp.ndarray, ksize: int = 7, sigma: float = 2.0):
+    """Separable Gaussian blur with reflect padding, [H, W] float32."""
+    k = jnp.asarray(gaussian_kernel1d(ksize, sigma))
+    pad = ksize // 2
+    x = jnp.pad(img, ((pad, pad), (0, 0)), mode="reflect")
+    # vertical pass: correlate along rows
+    x = jax.lax.conv_general_dilated(
+        x[None, None, :, :], k[None, None, :, None],
+        window_strides=(1, 1), padding="VALID",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )[0, 0]
+    x = jnp.pad(x, ((0, 0), (pad, pad)), mode="reflect")
+    x = jax.lax.conv_general_dilated(
+        x[None, None, :, :], k[None, None, None, :],
+        window_strides=(1, 1), padding="VALID",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )[0, 0]
+    return x
+
+
+def resize_bilinear(img: jnp.ndarray, out_hw: Tuple[int, int]):
+    """cv::resize(INTER_LINEAR)-compatible bilinear resample."""
+    H, W = img.shape
+    oh, ow = out_hw
+    # OpenCV convention: src = (dst + 0.5) * scale - 0.5
+    sy = H / oh
+    sx = W / ow
+    ys = (jnp.arange(oh, dtype=jnp.float32) + 0.5) * sy - 0.5
+    xs = (jnp.arange(ow, dtype=jnp.float32) + 0.5) * sx - 0.5
+    y0 = jnp.clip(jnp.floor(ys), 0, H - 1)
+    x0 = jnp.clip(jnp.floor(xs), 0, W - 1)
+    wy = jnp.clip(ys - y0, 0.0, 1.0)
+    wx = jnp.clip(xs - x0, 0.0, 1.0)
+    y0i = y0.astype(jnp.int32)
+    x0i = x0.astype(jnp.int32)
+    y1i = jnp.minimum(y0i + 1, H - 1)
+    x1i = jnp.minimum(x0i + 1, W - 1)
+    # gather rows then columns (two 1D gathers keep this TPU-cheap)
+    top = img[y0i, :]
+    bot = img[y1i, :]
+    row = top * (1 - wy)[:, None] + bot * wy[:, None]
+    left = row[:, x0i]
+    right = row[:, x1i]
+    return left * (1 - wx)[None, :] + right * wx[None, :]
+
+
+def build_pyramid(img: jnp.ndarray, n_levels: int, scale_factor: float):
+    """Returns list of [H_l, W_l] float32 images, level 0 = input.
+
+    Matches the reference's chained per-level resize from the previous
+    level (reference: src/ORBextractor.cc:1113-1124) which compounds less
+    aliasing than direct-from-level-0 resize.
+    """
+    sizes = level_sizes(img.shape[0], img.shape[1], n_levels, scale_factor)
+    levels = [img]
+    for lvl in range(1, n_levels):
+        levels.append(resize_bilinear(levels[-1], sizes[lvl]))
+    return levels

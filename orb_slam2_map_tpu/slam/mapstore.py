@@ -1,0 +1,330 @@
+"""SoA map store: keyframes, map points, observations, covisibility.
+
+Replaces the reference's pointer-graph of KeyFrame / MapPoint / Map
+objects guarded by per-object mutexes (reference: src/KeyFrame.cc,
+src/MapPoint.cc, src/Map.cc). TPU-first redesign (SURVEY.md §7): all map
+state lives in fixed-capacity structure-of-arrays with existence masks —
+the natural layout both for numpy host bookkeeping and for shipping
+padded tiles to the device. There are no locks: stages run as
+host-orchestrated phases with single-writer ownership, and loop
+correction / global BA use the staged write-back discipline the
+reference implements with mTcwGBA (src/LoopClosing.cc:643-744).
+
+Covisibility (reference: src/KeyFrame.cc:327-417 UpdateConnections) is an
+integer weight matrix maintained incrementally from a KF x MapPoint
+incidence matrix; the spanning tree (:409-414, :491-583 re-parenting) is
+a parent array.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+COVIS_EDGE_MIN = 15  # keep covisibility edge if weight >= 15 (ref :368-390)
+
+
+class MapStore:
+    def __init__(self, max_keyframes: int = 512, max_points: int = 1 << 16,
+                 kp_capacity: int = 1024):
+        K, M, N = max_keyframes, max_points, kp_capacity
+        self.K, self.M, self.N = K, M, N
+
+        # --- keyframes ---
+        self.kf_exists = np.zeros(K, dtype=bool)
+        self.kf_R = np.tile(np.eye(3, dtype=np.float32), (K, 1, 1))
+        self.kf_t = np.zeros((K, 3), dtype=np.float32)
+        self.kf_timestamp = np.zeros(K, dtype=np.float64)
+        self.kf_frame_id = np.full(K, -1, dtype=np.int64)
+        self.kf_xy = np.zeros((K, N, 2), dtype=np.float32)
+        self.kf_ur = np.full((K, N), -1.0, dtype=np.float32)
+        self.kf_depth = np.full((K, N), -1.0, dtype=np.float32)
+        self.kf_level = np.zeros((K, N), dtype=np.int32)
+        self.kf_angle = np.zeros((K, N), dtype=np.float32)
+        self.kf_desc = np.zeros((K, N, 8), dtype=np.uint32)
+        self.kf_kp_valid = np.zeros((K, N), dtype=bool)
+        self.kf_obs = np.full((K, N), -1, dtype=np.int64)   # kp -> mp id
+        # relative pose to parent at cull time (trajectory recovery,
+        # reference: src/KeyFrame.cc:576 mTcp)
+        self.kf_Tcp = np.tile(np.eye(4, dtype=np.float32), (K, 1, 1))
+
+        # --- map points ---
+        self.mp_exists = np.zeros(M, dtype=bool)
+        self.mp_pos = np.zeros((M, 3), dtype=np.float32)
+        self.mp_desc = np.zeros((M, 8), dtype=np.uint32)
+        self.mp_normal = np.zeros((M, 3), dtype=np.float32)
+        self.mp_min_dist = np.zeros(M, dtype=np.float32)
+        self.mp_max_dist = np.zeros(M, dtype=np.float32)
+        self.mp_visible = np.ones(M, dtype=np.int32)
+        self.mp_found = np.ones(M, dtype=np.int32)
+        self.mp_first_kf = np.full(M, -1, dtype=np.int32)
+        self.mp_obs_count = np.zeros(M, dtype=np.int32)
+        self.mp_level = np.zeros(M, dtype=np.int32)  # level at creation
+
+        # --- graph ---
+        self.incidence = np.zeros((K, M), dtype=bool)       # KF observes MP
+        self.covis = np.zeros((K, K), dtype=np.int32)
+        self.parent = np.full(K, -1, dtype=np.int32)
+        self.loop_edges: List[Tuple[int, int]] = []
+        self.kf_origin: int = -1  # first KF (GBA root)
+
+        self._next_kf = 0
+        self._next_mp = 0
+        self.version = 0  # bumped on any structural change
+
+    # ------------------------------------------------------------------
+    # allocation
+    # ------------------------------------------------------------------
+
+    def n_keyframes(self) -> int:
+        return int(self.kf_exists.sum())
+
+    def n_points(self) -> int:
+        return int(self.mp_exists.sum())
+
+    def keyframe_ids(self) -> np.ndarray:
+        return np.nonzero(self.kf_exists)[0]
+
+    def point_ids(self) -> np.ndarray:
+        return np.nonzero(self.mp_exists)[0]
+
+    def alloc_keyframe(self) -> int:
+        if self._next_kf < self.K:
+            kid = self._next_kf
+            self._next_kf += 1
+        else:  # reuse a culled slot
+            free = np.nonzero(~self.kf_exists)[0]
+            if len(free) == 0:
+                raise RuntimeError("keyframe capacity exhausted")
+            kid = int(free[0])
+        self.kf_exists[kid] = True
+        return kid
+
+    def alloc_points(self, count: int) -> np.ndarray:
+        ids = []
+        if self._next_mp + count <= self.M:
+            ids = np.arange(self._next_mp, self._next_mp + count)
+            self._next_mp += count
+        else:
+            free = np.nonzero(~self.mp_exists)[0]
+            if len(free) < count:
+                raise RuntimeError("map point capacity exhausted")
+            ids = free[:count]
+        self.mp_exists[ids] = True
+        self.mp_visible[ids] = 1
+        self.mp_found[ids] = 1
+        self.mp_obs_count[ids] = 0
+        return np.asarray(ids, dtype=np.int64)
+
+    # ------------------------------------------------------------------
+    # keyframe insertion + observations
+    # ------------------------------------------------------------------
+
+    def add_keyframe(self, frame, timestamp: float, frame_id: int,
+                     obs: np.ndarray) -> int:
+        """Insert a tracked frame as a keyframe. `obs` [N] int64: map-point
+        id observed by each keypoint (-1 = none)."""
+        kid = self.alloc_keyframe()
+        self.kf_R[kid] = np.asarray(frame.R)
+        self.kf_t[kid] = np.asarray(frame.t)
+        self.kf_timestamp[kid] = timestamp
+        self.kf_frame_id[kid] = frame_id
+        self.kf_xy[kid] = np.asarray(frame.xy)
+        self.kf_ur[kid] = np.asarray(frame.ur)
+        self.kf_depth[kid] = np.asarray(frame.depth)
+        self.kf_level[kid] = np.asarray(frame.level)
+        self.kf_angle[kid] = np.asarray(frame.angle)
+        self.kf_desc[kid] = np.asarray(frame.desc)
+        self.kf_kp_valid[kid] = np.asarray(frame.valid)
+        self.kf_obs[kid] = obs
+        if self.kf_origin < 0:
+            self.kf_origin = kid
+        self._rebuild_incidence_row(kid)
+        self.update_connections(kid)
+        self.version += 1
+        return kid
+
+    def _rebuild_incidence_row(self, kid: int):
+        row = np.zeros(self.M, dtype=bool)
+        obs = self.kf_obs[kid]
+        valid = obs >= 0
+        row[obs[valid]] = True
+        # update mp obs counts for changed entries
+        delta = row.astype(np.int32) - self.incidence[kid].astype(np.int32)
+        self.mp_obs_count += delta
+        self.incidence[kid] = row
+
+    def set_observation(self, kid: int, kp_idx: int, mid: int):
+        old = self.kf_obs[kid, kp_idx]
+        if old == mid:
+            return
+        if old >= 0:
+            # another kp of this KF may still observe old; recompute lazily
+            pass
+        self.kf_obs[kid, kp_idx] = mid
+        self._rebuild_incidence_row(kid)
+
+    def set_observations_bulk(self, kid: int, kp_idx: np.ndarray,
+                              mids: np.ndarray):
+        self.kf_obs[kid, kp_idx] = mids
+        self._rebuild_incidence_row(kid)
+
+    # ------------------------------------------------------------------
+    # covisibility + spanning tree
+    # ------------------------------------------------------------------
+
+    def update_connections(self, kid: int):
+        """Recompute covisibility weights for one KF and set its spanning
+        -tree parent on first connection (reference: src/KeyFrame.cc:
+        327-417)."""
+        row = self.incidence[kid]
+        w = (self.incidence[self.kf_exists] @ row.astype(np.int64))
+        weights = np.zeros(self.K, dtype=np.int32)
+        weights[self.kf_exists] = w.astype(np.int32)
+        weights[kid] = 0
+        self.covis[kid, :] = weights
+        self.covis[:, kid] = weights
+        if self.parent[kid] < 0 and kid != self.kf_origin:
+            best = int(np.argmax(weights))
+            if weights[best] > 0:
+                self.parent[kid] = best
+
+    def covisible_keyframes(self, kid: int, min_weight: int = 1,
+                            top_n: Optional[int] = None) -> np.ndarray:
+        """Ordered best-covisible KFs (reference: src/KeyFrame.cc:176-195
+        GetBestCovisibilityKeyFrames)."""
+        w = self.covis[kid].copy()
+        w[~self.kf_exists] = 0
+        ids = np.nonzero(w >= max(min_weight, 1))[0]
+        order = np.argsort(-w[ids], kind="stable")
+        ids = ids[order]
+        return ids[:top_n] if top_n is not None else ids
+
+    def point_observers(self, mid: int) -> Tuple[np.ndarray, np.ndarray]:
+        """(kf_ids, kp_indices) observing map point `mid`."""
+        kfs = np.nonzero(self.incidence[:, mid] & self.kf_exists)[0]
+        idx = np.empty(len(kfs), dtype=np.int64)
+        for i, k in enumerate(kfs):
+            where = np.nonzero(self.kf_obs[k] == mid)[0]
+            idx[i] = where[0] if len(where) else -1
+        keep = idx >= 0
+        return kfs[keep], idx[keep]
+
+    # ------------------------------------------------------------------
+    # erasure (culling)
+    # ------------------------------------------------------------------
+
+    def erase_point(self, mid: int):
+        """SetBadFlag (reference: src/MapPoint.cc:151-168)."""
+        ks = np.nonzero(self.incidence[:, mid])[0]
+        for k in ks:
+            self.kf_obs[k][self.kf_obs[k] == mid] = -1
+            self.incidence[k, mid] = False
+        self.mp_exists[mid] = False
+        self.mp_obs_count[mid] = 0
+        self.version += 1
+
+    def erase_points_bulk(self, mids: np.ndarray):
+        if len(mids) == 0:
+            return
+        sel = np.zeros(self.M, dtype=bool)
+        sel[mids] = True
+        self.kf_obs[np.isin(self.kf_obs, mids)] = -1
+        self.incidence[:, sel] = False
+        self.mp_exists[sel] = False
+        self.mp_obs_count[sel] = 0
+        self.version += 1
+
+    def erase_keyframe(self, kid: int):
+        """SetBadFlag with spanning-tree re-parenting of orphans
+        (reference: src/KeyFrame.cc:491-583). Children adopt the culled
+        KF's parent; mTcp-equivalent stored for trajectory recovery."""
+        parent = self.parent[kid]
+        # store relative pose to parent: Tcp = Tcw(kid) * Twc(parent)
+        if parent >= 0:
+            Tc = np.eye(4, dtype=np.float32)
+            Tc[:3, :3] = self.kf_R[kid]
+            Tc[:3, 3] = self.kf_t[kid]
+            Tp = np.eye(4, dtype=np.float32)
+            Tp[:3, :3] = self.kf_R[parent]
+            Tp[:3, 3] = self.kf_t[parent]
+            self.kf_Tcp[kid] = Tc @ np.linalg.inv(Tp)
+        children = np.nonzero(self.parent == kid)[0]
+        # reference runs a best-covisibility adoption loop; adopting the
+        # grandparent preserves tree connectivity with the same asymptotics
+        self.parent[children] = parent
+        obs = self.kf_obs[kid]
+        self.kf_obs[kid] = -1
+        self._rebuild_incidence_row(kid)
+        self.kf_exists[kid] = False
+        self.covis[kid, :] = 0
+        self.covis[:, kid] = 0
+        self.version += 1
+
+    # ------------------------------------------------------------------
+    # pose access
+    # ------------------------------------------------------------------
+
+    def kf_Tcw(self, kid: int) -> np.ndarray:
+        T = np.eye(4, dtype=np.float32)
+        T[:3, :3] = self.kf_R[kid]
+        T[:3, 3] = self.kf_t[kid]
+        return T
+
+    def kf_Twc(self, kid: int) -> np.ndarray:
+        T = self.kf_Tcw(kid)
+        Ti = np.eye(4, dtype=np.float32)
+        Ti[:3, :3] = T[:3, :3].T
+        Ti[:3, 3] = -T[:3, :3].T @ T[:3, 3]
+        return Ti
+
+    def set_kf_pose(self, kid: int, R: np.ndarray, t: np.ndarray):
+        self.kf_R[kid] = R
+        self.kf_t[kid] = t
+
+    # ------------------------------------------------------------------
+    # map point attribute maintenance
+    # ------------------------------------------------------------------
+
+    def update_point_stats(self, mids: np.ndarray, scale_factors: np.ndarray):
+        """Recompute normal, depth band, and distinctive descriptor for the
+        given points (reference: src/MapPoint.cc:242-307 ComputeDistinctive
+        Descriptors + :330-383 UpdateNormalAndDepth), vectorized over the
+        observation lists."""
+        from ..ops.matching import popcount32  # numpy-compatible bit math
+
+        for mid in np.atleast_1d(mids):
+            if not self.mp_exists[mid]:
+                continue
+            kfs, idxs = self.point_observers(mid)
+            if len(kfs) == 0:
+                continue
+            pos = self.mp_pos[mid]
+            centers = np.stack([self.kf_Twc(k)[:3, 3] for k in kfs])
+            rays = pos[None, :] - centers
+            norms = np.linalg.norm(rays, axis=1) + 1e-12
+            self.mp_normal[mid] = (rays / norms[:, None]).mean(axis=0)
+            # reference uses the *reference KF* distance with level scaling
+            ref_i = 0
+            level = self.kf_level[kfs[ref_i], idxs[ref_i]]
+            dist = norms[ref_i]
+            sf = scale_factors[level]
+            n_levels = len(scale_factors)
+            self.mp_max_dist[mid] = dist * sf
+            self.mp_min_dist[mid] = self.mp_max_dist[mid] / scale_factors[n_levels - 1]
+            # distinctive descriptor: min median Hamming
+            descs = self.kf_desc[kfs, idxs]                  # [O, 8]
+            x = descs[:, None, :] ^ descs[None, :, :]
+            d = _popcount_np(x).sum(axis=-1)                 # [O, O]
+            med = np.median(d, axis=1)
+            best = int(np.argmin(med))
+            self.mp_desc[mid] = descs[best]
+
+
+def _popcount_np(x: np.ndarray) -> np.ndarray:
+    x = x - ((x >> 1) & 0x55555555)
+    x = (x & 0x33333333) + ((x >> 2) & 0x33333333)
+    x = (x + (x >> 4)) & 0x0F0F0F0F
+    return ((x * 0x01010101) >> 24) & 0xFF

@@ -1,0 +1,573 @@
+"""Tracking: the per-frame state machine.
+
+Replaces the reference's Tracking thread (reference: src/Tracking.cc,
+1892 LoC): state machine {NO_IMAGES_YET, NOT_INITIALIZED, OK, LOST},
+stereo/RGB-D initialization, motion-model tracking, reference-keyframe
+fallback, relocalization, local-map tracking, keyframe decision, and the
+per-frame relative-pose log used for trajectory recovery.
+
+Host/device split (SURVEY.md §3.2): everything per-frame-hot — ORB
+extraction, projection matching, pose optimization, PnP-RANSAC — runs as
+jitted device programs with fixed shapes; the state machine, keyframe
+policy and map bookkeeping stay host-side in numpy.
+"""
+
+from __future__ import annotations
+
+import enum
+from dataclasses import dataclass, field
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import SystemConfig
+from ..geom import se3
+from ..optim import epnp, pose_opt
+from . import frame as frame_mod
+from . import search
+from .frame import Frame
+from .mapstore import MapStore
+
+LOCAL_POINT_CAP = 4096  # fixed device capacity for local-map points
+
+
+class TrackingState(enum.Enum):
+    NO_IMAGES_YET = 0
+    NOT_INITIALIZED = 1
+    OK = 2
+    LOST = 3
+
+
+@dataclass
+class FrameLog:
+    """Per-frame trajectory log entry (reference: include/Tracking.h:
+    111-116 mlRelativeFramePoses etc.)."""
+
+    timestamp: float
+    ref_kf: int
+    Tcr: np.ndarray      # frame pose relative to its reference KF
+    lost: bool
+
+
+class Tracker:
+    def __init__(self, cfg: SystemConfig, map_store: MapStore,
+                 local_mapper=None, dense_mapper=None, relocalizer=None):
+        self.cfg = cfg
+        self.map = map_store
+        self.local_mapper = local_mapper
+        self.dense_mapper = dense_mapper
+        self.relocalizer = relocalizer  # place-recognition hook
+        self.state = TrackingState.NO_IMAGES_YET
+        self.only_tracking = False      # localization mode (no mapping)
+
+        self.frame_id = -1
+        self.last_frame: Optional[Frame] = None
+        self.last_obs: Optional[np.ndarray] = None   # [N] mp id per kp
+        self.last_kf_id = -1
+        self.last_frame_id_of_kf = -1
+        self.last_reloc_frame_id = -1000000
+        self.ref_kf = -1
+        self.velocity: Optional[Tuple[np.ndarray, np.ndarray]] = None
+        self.logs: List[FrameLog] = []
+        self.matches_inliers = 0
+
+        cam = cfg.camera
+        self.max_frames_between_kf = int(cam.fps)
+        self.th_depth_m = cam.bf / cam.fx * cam.th_depth  # meters
+
+    # ------------------------------------------------------------------
+    # public API
+    # ------------------------------------------------------------------
+
+    def track_rgbd(self, timestamp: float, gray: np.ndarray,
+                   depth: np.ndarray, rgb: Optional[np.ndarray] = None
+                   ) -> Optional[np.ndarray]:
+        """Process one RGB-D frame; returns Tcw [4,4] or None if lost
+        (reference: src/Tracking.cc:300-338 GrabImageRGBD + :449-765
+        Track)."""
+        self.frame_id += 1
+        f = frame_mod.build_rgbd_frame(self.cfg, gray, depth)
+        return self._track(timestamp, f, rgb=rgb, depth_img=depth)
+
+    def track_frame(self, timestamp: float, f: Frame,
+                    rgb=None, depth_img=None) -> Optional[np.ndarray]:
+        """Track a pre-built frame (stereo path builds frames in
+        ops/stereo.py)."""
+        self.frame_id += 1
+        return self._track(timestamp, f, rgb=rgb, depth_img=depth_img)
+
+    # ------------------------------------------------------------------
+    # main state machine
+    # ------------------------------------------------------------------
+
+    def _track(self, ts: float, f: Frame, rgb=None, depth_img=None):
+        if self.state in (TrackingState.NO_IMAGES_YET,
+                          TrackingState.NOT_INITIALIZED):
+            self.state = TrackingState.NOT_INITIALIZED
+            ok = self._stereo_initialization(ts, f, rgb, depth_img)
+            if ok:
+                self.state = TrackingState.OK
+                self._log_frame(ts, f, lost=False)
+                return self._pose_of(f)
+            return None
+
+        cur_obs = np.full(f.capacity, -1, dtype=np.int64)
+        ok = False
+        if self.state == TrackingState.OK:
+            if self.velocity is not None:
+                ok, f, cur_obs = self._track_with_motion_model(f)
+            if not ok:
+                ok, f, cur_obs = self._track_reference_keyframe(f)
+        else:  # LOST
+            ok, f, cur_obs = self._relocalize(f)
+            if ok:
+                self.last_reloc_frame_id = self.frame_id
+
+        if ok and not self.only_tracking:
+            ok, f, cur_obs = self._track_local_map(f, cur_obs)
+        elif ok:
+            ok2, f2, cur_obs2 = self._track_local_map(f, cur_obs)
+            if ok2:
+                f, cur_obs = f2, cur_obs2
+
+        if ok:
+            self.state = TrackingState.OK
+            # update motion model: velocity = Tcw_cur * Twc_last
+            if self.last_frame is not None:
+                Rl, tl = np.asarray(self.last_frame.R), np.asarray(self.last_frame.t)
+                Rc, tc = np.asarray(f.R), np.asarray(f.t)
+                Rv = Rc @ Rl.T
+                tv = tc - Rv @ tl
+                self.velocity = (Rv, tv)
+            # bookkeeping of found counters
+            mids = cur_obs[cur_obs >= 0]
+            self.map.mp_found[mids] += 1
+
+            if not self.only_tracking and self._need_new_keyframe(f, cur_obs):
+                self._create_new_keyframe(ts, f, cur_obs, rgb, depth_img)
+        else:
+            self.state = TrackingState.LOST
+            self.velocity = None
+            # auto-reset if lost early (reference: src/Tracking.cc:729-737)
+            if self.map.n_keyframes() <= self.cfg.tracking.lost_reset_max_kfs:
+                self.reset()
+                return None
+
+        self.last_frame = f
+        self.last_obs = cur_obs
+        self._log_frame(ts, f, lost=not ok)
+        return self._pose_of(f) if ok else None
+
+    # ------------------------------------------------------------------
+    # initialization
+    # ------------------------------------------------------------------
+
+    def _stereo_initialization(self, ts, f: Frame, rgb, depth_img) -> bool:
+        """(reference: src/Tracking.cc:786-838): needs > 500 depth points;
+        pose = identity; every depth keypoint becomes a map point."""
+        n_depth = int(np.asarray((f.depth > 0) & f.valid).sum())
+        if n_depth < self.cfg.tracking.min_init_stereo_points:
+            return False
+        f = frame_mod.set_pose(f, np.eye(3, dtype=np.float32),
+                               np.zeros(3, dtype=np.float32))
+        obs = self._create_points_from_depth(
+            f, np.full(f.capacity, -1, dtype=np.int64), max_new=f.capacity
+        )
+        kid = self.map.add_keyframe(f, ts, self.frame_id, obs)
+        self.map.parent[kid] = -1
+        self._finish_new_points(kid, obs)
+        self.ref_kf = kid
+        self.last_kf_id = kid
+        self.last_frame_id_of_kf = self.frame_id
+        self.last_frame = f
+        self.last_obs = obs
+        if self.local_mapper is not None:
+            self.local_mapper.process_keyframe(kid)
+        if self.dense_mapper is not None and rgb is not None:
+            self.dense_mapper.insert_keyframe(kid, rgb, depth_img)
+        return True
+
+    # ------------------------------------------------------------------
+    # tracking stages
+    # ------------------------------------------------------------------
+
+    def _track_with_motion_model(self, f: Frame):
+        """(reference: src/Tracking.cc:1151-1212)."""
+        tcfg = self.cfg.tracking
+        Rv, tv = self.velocity
+        Rl, tl = np.asarray(self.last_frame.R), np.asarray(self.last_frame.t)
+        R_pred = (Rv @ Rl).astype(np.float32)
+        t_pred = (Rv @ tl + tv).astype(np.float32)
+
+        last_obs = self.last_obs.copy()
+        alive = (last_obs >= 0) & self.map.mp_exists[np.clip(last_obs, 0, None)]
+        last_obs[~alive] = -1
+        mp_idx = np.clip(last_obs, 0, None)
+        last_xw = self.map.mp_pos[mp_idx]
+        last_valid = alive
+
+        th = tcfg.search_window_mono  # RGB-D/mono window (stereo: 7)
+        matches = None
+        for radius in (th, 2 * th):
+            m = search.search_by_projection_last_frame(
+                self.cfg, jnp.asarray(R_pred), jnp.asarray(t_pred),
+                jnp.asarray(last_xw), jnp.asarray(last_valid), float(radius),
+                self.last_frame.level, self.last_frame.ur,
+                self.last_frame.desc, f)
+            if int(np.asarray(m.ok).sum()) >= tcfg.motion_model_min_matches:
+                matches = m
+                break
+        if matches is None:
+            return False, f, np.full(f.capacity, -1, dtype=np.int64)
+
+        ok_np = np.asarray(matches.ok)
+        kp_of = np.asarray(matches.kp_idx)
+        # build pose-opt arrays indexed by last-frame rows
+        uv = np.asarray(f.xy)[kp_of]
+        ur = np.asarray(f.ur)[kp_of]
+        inv_s2 = np.asarray(f.inv_sigma2)[kp_of]
+        res = pose_opt.pose_optimize_jit(
+            self.cfg.camera, jnp.asarray(R_pred), jnp.asarray(t_pred),
+            jnp.asarray(last_xw), jnp.asarray(uv), jnp.asarray(ur),
+            jnp.asarray(inv_s2), jnp.asarray(ok_np))
+        inl = np.asarray(res.inliers)
+        n_inl = int(inl.sum())
+        if n_inl < 10:
+            return False, f, np.full(f.capacity, -1, dtype=np.int64)
+        f = frame_mod.set_pose(f, np.asarray(res.R), np.asarray(res.t))
+        cur_obs = np.full(f.capacity, -1, dtype=np.int64)
+        cur_obs[kp_of[inl]] = last_obs[inl]
+        return True, f, cur_obs
+
+    def _track_reference_keyframe(self, f: Frame):
+        """(reference: src/Tracking.cc:1041-1083)."""
+        tcfg = self.cfg.tracking
+        kid = self.ref_kf
+        if kid < 0 or not self.map.kf_exists[kid]:
+            return False, f, np.full(f.capacity, -1, dtype=np.int64)
+        kf_obs = self.map.kf_obs[kid]
+        kf_has_mp = (kf_obs >= 0) & self.map.mp_exists[np.clip(kf_obs, 0, None)]
+        idx, keep = search.match_frame_to_kf(
+            self.cfg, jnp.asarray(self.map.kf_desc[kid]),
+            jnp.asarray(self.map.kf_kp_valid[kid]),
+            jnp.asarray(kf_has_mp), f,
+        )
+        keep_np = np.asarray(keep)
+        if int(keep_np.sum()) < tcfg.ref_kf_min_matches:
+            return False, f, np.full(f.capacity, -1, dtype=np.int64)
+        kp_of = np.asarray(idx)
+        mids = np.clip(kf_obs, 0, None)
+        X = self.map.mp_pos[mids]
+        uv = np.asarray(f.xy)[kp_of]
+        ur = np.asarray(f.ur)[kp_of]
+        inv_s2 = np.asarray(f.inv_sigma2)[kp_of]
+        # init from last frame pose
+        R0 = np.asarray(self.last_frame.R)
+        t0 = np.asarray(self.last_frame.t)
+        res = pose_opt.pose_optimize_jit(
+            self.cfg.camera, jnp.asarray(R0), jnp.asarray(t0),
+            jnp.asarray(X), jnp.asarray(uv), jnp.asarray(ur),
+            jnp.asarray(inv_s2), jnp.asarray(keep_np))
+        inl = np.asarray(res.inliers)
+        if int(inl.sum()) < tcfg.ref_kf_min_inliers:
+            return False, f, np.full(f.capacity, -1, dtype=np.int64)
+        f = frame_mod.set_pose(f, np.asarray(res.R), np.asarray(res.t))
+        cur_obs = np.full(f.capacity, -1, dtype=np.int64)
+        cur_obs[kp_of[inl]] = kf_obs[inl]
+        return True, f, cur_obs
+
+    def _track_local_map(self, f: Frame, cur_obs: np.ndarray):
+        """(reference: src/Tracking.cc:1214-1258 + 1447-1643)."""
+        tcfg = self.cfg.tracking
+        local_kfs = self._update_local_keyframes(cur_obs)
+        if len(local_kfs) == 0:
+            return False, f, cur_obs
+        self.ref_kf = int(local_kfs[0])
+
+        # local points = union of observations of local KFs
+        inc = self.map.incidence[local_kfs].any(axis=0)
+        inc &= self.map.mp_exists
+        mids = np.nonzero(inc)[0]
+        # exclude points already matched in this frame (they stay matched)
+        already = set(cur_obs[cur_obs >= 0].tolist())
+        if len(mids) > LOCAL_POINT_CAP:
+            # keep the most-observed points
+            order = np.argsort(-self.map.mp_obs_count[mids], kind="stable")
+            mids = mids[order[:LOCAL_POINT_CAP]]
+        self.map.mp_visible[mids] += 1  # counted visible when in local map
+
+        pad = LOCAL_POINT_CAP - len(mids)
+        mids_p = np.concatenate([mids, np.zeros(pad, dtype=mids.dtype)])
+        mp_valid = np.concatenate([
+            ~np.isin(mids, list(already)) if already else np.ones(len(mids), bool),
+            np.zeros(pad, dtype=bool)])
+
+        kp_taken = cur_obs >= 0
+        th = 3.0 if True else 1.0  # RGB-D th=3 (reference: src/Tracking.cc:1496)
+        if self.frame_id - self.last_reloc_frame_id < int(self.cfg.camera.fps):
+            th = 5.0
+        m = search.search_by_projection_local(
+            self.cfg, f.R, f.t,
+            jnp.asarray(self.map.mp_pos[mids_p]),
+            jnp.asarray(self.map.mp_desc[mids_p]),
+            jnp.asarray(self.map.mp_normal[mids_p]),
+            jnp.asarray(self.map.mp_min_dist[mids_p]),
+            jnp.asarray(self.map.mp_max_dist[mids_p]),
+            float(th), jnp.asarray(mp_valid), f, jnp.asarray(kp_taken))
+
+        ok_np = np.asarray(m.ok)
+        kp_of = np.asarray(m.kp_idx)
+        # merge new matches into cur_obs
+        new_rows = np.nonzero(ok_np)[0]
+        cur_obs2 = cur_obs.copy()
+        cur_obs2[kp_of[new_rows]] = mids_p[new_rows]
+
+        # final pose optimization over every matched point
+        rows = np.nonzero(cur_obs2 >= 0)[0]
+        X = self.map.mp_pos[cur_obs2[rows]]
+        Xp = np.zeros((f.capacity, 3), dtype=np.float32)
+        uv = np.zeros((f.capacity, 2), dtype=np.float32)
+        ur = np.full(f.capacity, -1.0, dtype=np.float32)
+        iv = np.ones(f.capacity, dtype=np.float32)
+        valid = np.zeros(f.capacity, dtype=bool)
+        Xp[rows] = X
+        uv[rows] = np.asarray(f.xy)[rows]
+        ur[rows] = np.asarray(f.ur)[rows]
+        iv[rows] = np.asarray(f.inv_sigma2)[rows]
+        valid[rows] = True
+        res = pose_opt.pose_optimize_jit(
+            self.cfg.camera, f.R, f.t, jnp.asarray(Xp), jnp.asarray(uv),
+            jnp.asarray(ur), jnp.asarray(iv), jnp.asarray(valid))
+        inl = np.asarray(res.inliers)
+        f = frame_mod.set_pose(f, np.asarray(res.R), np.asarray(res.t))
+        cur_obs2[~inl] = -1
+        self.matches_inliers = int(inl.sum())
+
+        min_inl = tcfg.local_map_min_inliers
+        if self.frame_id - self.last_reloc_frame_id < int(self.cfg.camera.fps):
+            min_inl = tcfg.local_map_min_inliers_after_reloc
+        if self.matches_inliers < min_inl:
+            return False, f, cur_obs2
+        return True, f, cur_obs2
+
+    def _update_local_keyframes(self, cur_obs) -> np.ndarray:
+        """Covisibility voting (reference: src/Tracking.cc:1535-1643):
+        K1 = KFs observing current points (vote-sorted), K2 = their best
+        covisible neighbors, capped at 80."""
+        mids = cur_obs[cur_obs >= 0]
+        if len(mids) == 0:
+            return np.asarray([], dtype=np.int64)
+        votes = self.map.incidence[:, mids].sum(axis=1)
+        votes = votes * self.map.kf_exists
+        k1 = np.nonzero(votes > 0)[0]
+        order = np.argsort(-votes[k1], kind="stable")
+        k1 = k1[order]
+        local = list(k1[: self.cfg.tracking.max_local_keyframes])
+        seen = set(local)
+        for k in list(local):
+            for nb in self.map.covisible_keyframes(k, top_n=10):
+                if nb not in seen:
+                    local.append(int(nb))
+                    seen.add(int(nb))
+                    break  # reference adds one best new neighbor per KF
+            if len(local) >= self.cfg.tracking.max_local_keyframes:
+                break
+        return np.asarray(local, dtype=np.int64)
+
+    # ------------------------------------------------------------------
+    # relocalization
+    # ------------------------------------------------------------------
+
+    def _relocalize(self, f: Frame):
+        """(reference: src/Tracking.cc:1645-1806). Candidate KFs come from
+        the place-recognition database when available, else from all KFs.
+        Per candidate: descriptor match -> batched EPnP-RANSAC -> pose opt
+        -> accept at >= 50 inliers."""
+        empty = np.full(f.capacity, -1, dtype=np.int64)
+        if self.relocalizer is not None:
+            candidates = self.relocalizer.reloc_candidates(f)
+        else:
+            candidates = self.map.keyframe_ids()
+        if len(candidates) == 0:
+            return False, f, empty
+
+        for kid in candidates[:8]:
+            kf_obs = self.map.kf_obs[kid]
+            has_mp = (kf_obs >= 0) & self.map.mp_exists[np.clip(kf_obs, 0, None)]
+            idx, keep = search.match_frame_to_kf(
+                self.cfg, jnp.asarray(self.map.kf_desc[kid]),
+                jnp.asarray(self.map.kf_kp_valid[kid]),
+                jnp.asarray(has_mp), f, nn_ratio=0.75)
+            keep_np = np.asarray(keep)
+            if int(keep_np.sum()) < 15:
+                continue
+            kp_of = np.asarray(idx)
+            mids = np.clip(kf_obs, 0, None)
+            X = self.map.mp_pos[mids]
+            uv = np.asarray(f.xy)[kp_of]
+            inv_s2 = np.asarray(f.inv_sigma2)[kp_of]
+            pr = epnp.pnp_ransac_jit(
+                self.cfg.camera, jnp.asarray(X), jnp.asarray(uv),
+                jnp.asarray(inv_s2), jnp.asarray(keep_np),
+                jax.random.PRNGKey(self.frame_id))
+            if not bool(pr.ok):
+                continue
+            ur = np.asarray(f.ur)[kp_of]
+            res = pose_opt.pose_optimize_jit(
+                self.cfg.camera, pr.R, pr.t, jnp.asarray(X), jnp.asarray(uv),
+                jnp.asarray(ur), jnp.asarray(inv_s2), jnp.asarray(keep_np))
+            inl = np.asarray(res.inliers)
+            if int(inl.sum()) >= self.cfg.tracking.reloc_min_inliers:
+                f = frame_mod.set_pose(f, np.asarray(res.R), np.asarray(res.t))
+                cur_obs = empty.copy()
+                cur_obs[kp_of[inl]] = mids[inl]
+                self.ref_kf = int(kid)
+                return True, f, cur_obs
+        return False, f, empty
+
+    # ------------------------------------------------------------------
+    # keyframe policy
+    # ------------------------------------------------------------------
+
+    def _need_new_keyframe(self, f: Frame, cur_obs) -> bool:
+        """(reference: src/Tracking.cc:1261-1358)."""
+        if self.frame_id - self.last_reloc_frame_id < self.max_frames_between_kf \
+                and self.map.n_keyframes() > self.max_frames_between_kf:
+            return False
+        n_kfs = self.map.n_keyframes()
+        min_obs = 3 if n_kfs > 2 else 2
+        # reference-KF tracked points with >= min_obs observations
+        ref_obs = self.map.kf_obs[self.ref_kf]
+        ref_mids = ref_obs[ref_obs >= 0]
+        ref_matches = int((self.map.mp_obs_count[ref_mids] >= min_obs).sum())
+
+        # close-point bookkeeping (RGB-D: c1c / bNeedToInsertClose)
+        depth = np.asarray(f.depth)
+        valid = np.asarray(f.valid)
+        close = (depth > 0) & (depth < self.th_depth_m) & valid
+        tracked = cur_obs >= 0
+        tracked_close = int((close & tracked).sum())
+        untracked_close = int((close & ~tracked).sum())
+        need_close = tracked_close < 100 and untracked_close > 70
+
+        th_ref_ratio = 0.75 if n_kfs > 2 else 0.4
+        frames_since_kf = self.frame_id - self.last_frame_id_of_kf
+        c1a = frames_since_kf >= self.max_frames_between_kf
+        c1b = frames_since_kf >= self.cfg.tracking.min_frames_between_kf
+        c1c = (self.matches_inliers < ref_matches * 0.25) or need_close
+        c2 = ((self.matches_inliers < ref_matches * th_ref_ratio or need_close)
+              and self.matches_inliers > 15)
+        return bool((c1a or c1b or c1c) and c2)
+
+    def _create_new_keyframe(self, ts, f: Frame, cur_obs, rgb, depth_img):
+        """(reference: src/Tracking.cc:1360-1445)."""
+        obs = self._create_points_from_depth(f, cur_obs,
+                                             max_new=self.cfg.tracking.vo_depth_points)
+        kid = self.map.add_keyframe(f, ts, self.frame_id, obs)
+        self._finish_new_points(kid, obs)
+        self.ref_kf = kid
+        self.last_kf_id = kid
+        self.last_frame_id_of_kf = self.frame_id
+        if self.local_mapper is not None:
+            self.local_mapper.process_keyframe(kid)
+        if self.dense_mapper is not None and rgb is not None:
+            self.dense_mapper.insert_keyframe(kid, rgb, depth_img)
+        # cur_obs may have been updated with the depth-created points
+        np.copyto(cur_obs, obs)
+
+    def _create_points_from_depth(self, f: Frame, cur_obs, max_new: int
+                                  ) -> np.ndarray:
+        """Create map points from RGB-D depth for unmatched keypoints:
+        all closer than ThDepth, else the `max_new` closest
+        (reference: src/Tracking.cc:1382-1434)."""
+        obs = cur_obs.copy()
+        depth = np.asarray(f.depth)
+        valid = np.asarray(f.valid)
+        cand = (depth > 0) & valid & (obs < 0)
+        idxs = np.nonzero(cand)[0]
+        if len(idxs) == 0:
+            return obs
+        order = np.argsort(depth[idxs], kind="stable")
+        idxs = idxs[order]
+        close = depth[idxs] < self.th_depth_m
+        n_take = max(int(close.sum()), min(max_new, len(idxs)))
+        take = idxs[:n_take]
+
+        Xw, _ = frame_mod.unproject_valid(self.cfg, f)
+        Xw = np.asarray(Xw)
+        mids = self.map.alloc_points(len(take))
+        self.map.mp_pos[mids] = Xw[take]
+        self.map.mp_desc[mids] = np.asarray(f.desc)[take]
+        self.map.mp_level[mids] = np.asarray(f.level)[take]
+        obs[take] = mids
+        return obs
+
+    def _finish_new_points(self, kid: int, obs: np.ndarray):
+        """Set normals/depth bands for the points created with this KF."""
+        sf = np.asarray(self.cfg.orb.scale_factors, dtype=np.float32)
+        mids = obs[obs >= 0]
+        new = mids[self.map.mp_first_kf[mids] < 0]
+        if len(new) == 0:
+            return
+        self.map.mp_first_kf[new] = kid
+        Twc = self.map.kf_Twc(kid)
+        rays = self.map.mp_pos[new] - Twc[:3, 3]
+        d = np.linalg.norm(rays, axis=1) + 1e-12
+        self.map.mp_normal[new] = rays / d[:, None]
+        levels = self.map.mp_level[new]
+        self.map.mp_max_dist[new] = d * sf[levels]
+        self.map.mp_min_dist[new] = self.map.mp_max_dist[new] / sf[-1]
+
+    # ------------------------------------------------------------------
+    # utilities
+    # ------------------------------------------------------------------
+
+    def _pose_of(self, f: Frame) -> np.ndarray:
+        T = np.eye(4, dtype=np.float32)
+        T[:3, :3] = np.asarray(f.R)
+        T[:3, 3] = np.asarray(f.t)
+        return T
+
+    def _log_frame(self, ts, f: Frame, lost: bool):
+        if self.ref_kf < 0:
+            return
+        Tcw = self._pose_of(f)
+        Trw = self.map.kf_Tcw(self.ref_kf)
+        Tcr = Tcw @ np.linalg.inv(Trw)
+        self.logs.append(FrameLog(timestamp=ts, ref_kf=self.ref_kf,
+                                  Tcr=Tcr, lost=lost))
+
+    def reset(self):
+        """(reference: src/Tracking.cc:1808-1850)."""
+        self.map.__init__(self.map.K, self.map.M, self.map.N)
+        self.state = TrackingState.NO_IMAGES_YET
+        self.last_frame = None
+        self.last_obs = None
+        self.velocity = None
+        self.ref_kf = -1
+        self.logs.clear()
+
+    def trajectory(self) -> Tuple[np.ndarray, np.ndarray]:
+        """Recover the full camera trajectory Twc per frame through the
+        (possibly re-optimized / culled) reference keyframes
+        (reference: src/System.cc:349-402 SaveTrajectoryTUM)."""
+        ts, mats = [], []
+        for log in self.logs:
+            if log.lost:
+                continue
+            ref = log.ref_kf
+            Trw = np.eye(4, dtype=np.float32)
+            # walk the spanning tree through culled KFs (mTcp chain)
+            while ref >= 0 and not self.map.kf_exists[ref]:
+                Trw = self.map.kf_Tcp[ref] @ Trw  # accumulate relative
+                ref = self.map.parent[ref]
+            if ref < 0:
+                continue
+            Trw = Trw @ self.map.kf_Tcw(ref)
+            Tcw = log.Tcr @ Trw
+            Twc = np.linalg.inv(Tcw)
+            ts.append(log.timestamp)
+            mats.append(Twc)
+        return np.asarray(ts), np.asarray(mats)
