@@ -1,0 +1,219 @@
+"""Dense RGB-D point-cloud mapping.
+
+Replaces the fork's PointCloudMapping thread (reference:
+src/PointCloudMap.cc, 336 LoC): per-keyframe clouds from 3x3-decimated
+depth (0.01 < d < 10 m) colored by RGB (:78-138), cached in camera frame
+(:207-215); incremental global assembly with voxel-grid downsampling at
+`PointCloudMapping.Resolution` (:244-266); full rebuild from re-optimized
+keyframe poses after loop closure (:217-243, keyed off the fork's
+loop_detected flag); and the shutdown pass with statistical outlier
+removal (MeanK=50, sigma=1.0, :46-47, :270-288) and PCD export.
+
+The cond-var viewer thread becomes an explicit stage: unprojection /
+transformation / voxelization are jitted device programs; the voxel hash
+dedup is a host numpy unique (irregular output size).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import SystemConfig
+from ..slam.mapstore import MapStore
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3))
+def _unproject_cloud(cfg: SystemConfig, depth, rgb, decimation: int):
+    """Decimated colored cloud in camera frame: [M, 3] xyz + [M, 3] rgb +
+    [M] valid (reference: src/PointCloudMap.cc:103-132)."""
+    cam = cfg.camera
+    d = cfg.dense
+    H, W = depth.shape
+    vs = jnp.arange(0, H, decimation)
+    us = jnp.arange(0, W, decimation)
+    dd = depth[vs][:, us]                       # [h, w]
+    cc = rgb[vs][:, us]                         # [h, w, 3]
+    uu = jnp.broadcast_to(us[None, :].astype(jnp.float32), dd.shape)
+    vv = jnp.broadcast_to(vs[:, None].astype(jnp.float32), dd.shape)
+    z = dd
+    x = (uu - cam.cx) / cam.fx * z
+    y = (vv - cam.cy) / cam.fy * z
+    xyz = jnp.stack([x, y, z], axis=-1).reshape(-1, 3)
+    col = cc.reshape(-1, 3)
+    valid = ((z > d.depth_min) & (z < d.depth_max)).reshape(-1)
+    return xyz, col, valid
+
+
+@jax.jit
+def _transform_cloud(xyz, Twc):
+    return xyz @ Twc[:3, :3].T + Twc[:3, 3]
+
+
+def voxel_downsample(xyz: np.ndarray, col: Optional[np.ndarray],
+                     resolution: float) -> Tuple[np.ndarray, Optional[np.ndarray]]:
+    """Centroid voxel-grid filter (pcl::VoxelGrid semantics)."""
+    if len(xyz) == 0:
+        return xyz, col
+    keys = np.floor(xyz / resolution).astype(np.int64)
+    # hash 3D integer coords
+    h = (keys[:, 0] * 73856093) ^ (keys[:, 1] * 19349663) ^ (keys[:, 2] * 83492791)
+    uniq, inv, counts = np.unique(h, return_inverse=True, return_counts=True)
+    n = len(uniq)
+    out = np.zeros((n, 3), dtype=np.float64)
+    np.add.at(out, inv, xyz)
+    out /= counts[:, None]
+    out_col = None
+    if col is not None:
+        oc = np.zeros((n, 3), dtype=np.float64)
+        np.add.at(oc, inv, col.astype(np.float64))
+        out_col = (oc / counts[:, None]).astype(col.dtype)
+    return out.astype(np.float32), out_col
+
+
+def statistical_outlier_removal(xyz: np.ndarray, mean_k: int = 50,
+                                std_mul: float = 1.0) -> np.ndarray:
+    """pcl::StatisticalOutlierRemoval semantics: mean distance to k
+    nearest neighbors, drop points beyond mean + std_mul * std.
+    Grid-bucketed kNN to stay O(N * local)."""
+    n = len(xyz)
+    if n < mean_k + 1:
+        return np.ones(n, dtype=bool)
+    try:
+        from scipy.spatial import cKDTree
+
+        tree = cKDTree(xyz)
+        d, _ = tree.query(xyz, k=mean_k + 1, workers=-1)
+        mean_d = d[:, 1:].mean(axis=1)
+    except ImportError:  # pragma: no cover - grid fallback
+        res = np.percentile(
+            np.linalg.norm(xyz - xyz.mean(0), axis=1), 50) / 10 + 1e-6
+        keys = np.floor(xyz / res).astype(np.int64)
+        h = (keys[:, 0] * 73856093) ^ (keys[:, 1] * 19349663) ^ (keys[:, 2] * 83492791)
+        order = np.argsort(h)
+        mean_d = np.zeros(n)
+        # rough: distance to voxel centroid as proxy
+        _, inv, counts = np.unique(h, return_inverse=True, return_counts=True)
+        cent = np.zeros((counts.shape[0], 3))
+        np.add.at(cent, inv, xyz)
+        cent /= counts[:, None]
+        mean_d = np.linalg.norm(xyz - cent[inv], axis=1)
+    mu, sigma = mean_d.mean(), mean_d.std()
+    return mean_d <= mu + std_mul * sigma
+
+
+def save_pcd(path: str, xyz: np.ndarray, col: Optional[np.ndarray] = None):
+    """ASCII PCD writer (the reference saves via pcl::io::savePCDFileBinary,
+    src/PointCloudMap.cc:287; ASCII keeps this dependency-free)."""
+    n = len(xyz)
+    with open(path, "w") as f:
+        f.write("# .PCD v0.7 - Point Cloud Data file format\nVERSION 0.7\n")
+        if col is not None:
+            f.write("FIELDS x y z rgb\nSIZE 4 4 4 4\nTYPE F F F U\nCOUNT 1 1 1 1\n")
+        else:
+            f.write("FIELDS x y z\nSIZE 4 4 4\nTYPE F F F\nCOUNT 1 1 1\n")
+        f.write(f"WIDTH {n}\nHEIGHT 1\nVIEWPOINT 0 0 0 1 0 0 0\n"
+                f"POINTS {n}\nDATA ascii\n")
+        if col is not None:
+            packed = (col[:, 0].astype(np.uint32) << 16 |
+                      col[:, 1].astype(np.uint32) << 8 |
+                      col[:, 2].astype(np.uint32))
+            for p, c in zip(xyz, packed):
+                f.write(f"{p[0]:.4f} {p[1]:.4f} {p[2]:.4f} {c}\n")
+        else:
+            for p in xyz:
+                f.write(f"{p[0]:.4f} {p[1]:.4f} {p[2]:.4f}\n")
+
+
+def load_pcd(path: str) -> Tuple[np.ndarray, Optional[np.ndarray]]:
+    xyz, col = [], []
+    has_rgb = False
+    with open(path) as f:
+        in_data = False
+        for line in f:
+            if in_data:
+                parts = line.split()
+                xyz.append([float(parts[0]), float(parts[1]), float(parts[2])])
+                if has_rgb and len(parts) > 3:
+                    p = int(parts[3])
+                    col.append([(p >> 16) & 255, (p >> 8) & 255, p & 255])
+            elif line.startswith("FIELDS"):
+                has_rgb = "rgb" in line
+            elif line.startswith("DATA"):
+                in_data = True
+    return (np.asarray(xyz, dtype=np.float32),
+            np.asarray(col, dtype=np.uint8) if col else None)
+
+
+class DenseMapper:
+    """Host orchestrator for dense cloud fusion (the reference's
+    PointCloudMapping object)."""
+
+    def __init__(self, cfg: SystemConfig, map_store: MapStore,
+                 loop_closer=None):
+        self.cfg = cfg
+        self.map = map_store
+        self.loop_closer = loop_closer
+        # per-KF cached camera-frame clouds (reference :207-215)
+        self.kf_clouds: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
+        self.global_xyz = np.zeros((0, 3), dtype=np.float32)
+        self.global_col = np.zeros((0, 3), dtype=np.uint8)
+        self._dirty = False
+
+    def insert_keyframe(self, kid: int, rgb: np.ndarray, depth: np.ndarray):
+        """(reference: src/PointCloudMap.cc:69-76 + viewer loop body)."""
+        xyz, col, valid = _unproject_cloud(
+            self.cfg, jnp.asarray(depth, jnp.float32),
+            jnp.asarray(rgb), self.cfg.dense.decimation)
+        v = np.asarray(valid)
+        self.kf_clouds[kid] = (np.asarray(xyz)[v], np.asarray(col)[v])
+        if self.loop_closer is not None and self.loop_closer.loop_detected:
+            self.loop_closer.loop_detected = False
+            self.rebuild()                       # (reference :217-243)
+        else:
+            self._append_incremental(kid)
+
+    def _append_incremental(self, kid: int):
+        xyz_c, col = self.kf_clouds[kid]
+        Twc = self.map.kf_Twc(kid)
+        xyz_w = np.asarray(_transform_cloud(jnp.asarray(xyz_c),
+                                            jnp.asarray(Twc)))
+        self.global_xyz = np.concatenate([self.global_xyz, xyz_w])
+        self.global_col = np.concatenate([self.global_col, col])
+        self.global_xyz, self.global_col = voxel_downsample(
+            self.global_xyz, self.global_col, self.cfg.dense.resolution)
+
+    def rebuild(self):
+        """Regenerate the whole cloud from current (re-optimized) KF poses
+        (reference: src/PointCloudMap.cc:217-243)."""
+        parts_x, parts_c = [], []
+        for kid, (xyz_c, col) in self.kf_clouds.items():
+            if not self.map.kf_exists[kid]:
+                continue
+            Twc = self.map.kf_Twc(kid)
+            parts_x.append(np.asarray(_transform_cloud(
+                jnp.asarray(xyz_c), jnp.asarray(Twc))))
+            parts_c.append(col)
+        if not parts_x:
+            return
+        xyz = np.concatenate(parts_x)
+        col = np.concatenate(parts_c)
+        self.global_xyz, self.global_col = voxel_downsample(
+            xyz, col, self.cfg.dense.resolution)
+
+    def finalize(self, pcd_path: Optional[str] = None):
+        """Shutdown pass: rebuild + SOR filter + optional PCD save
+        (reference: src/PointCloudMap.cc:270-288)."""
+        self.rebuild()
+        if len(self.global_xyz):
+            keep = statistical_outlier_removal(
+                self.global_xyz, self.cfg.dense.sor_mean_k,
+                self.cfg.dense.sor_std)
+            self.global_xyz = self.global_xyz[keep]
+            self.global_col = self.global_col[keep]
+        if pcd_path:
+            save_pcd(pcd_path, self.global_xyz, self.global_col)

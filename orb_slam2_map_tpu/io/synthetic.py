@@ -132,15 +132,41 @@ def _render_box(Twc, coarse_tex, fine_tex, blob_tex, coarse_scale, fine_scale,
         jnp.where((axis_of_face == 1)[..., None], coords[1], coords[2]),
     )
 
-    def sample(tex, scale):
-        n = tex.shape[1]
-        iu = jnp.mod((uv_face[..., 0] * scale).astype(jnp.int32), n)
-        iv = jnp.mod((uv_face[..., 1] * scale).astype(jnp.int32), n)
-        return tex[best_face, iu, iv]                      # [H,W,C]
+    def sample(tex, scale, rot_per_face):
+        """Bilinear texture sample with a per-face lattice rotation.
 
-    col = (0.45 * sample(coarse_tex, coarse_scale)
-           + 0.35 * sample(fine_tex, fine_scale)
-           + 0.5 * sample(blob_tex, fine_scale))
+        Nearest sampling makes corner positions snap coherently with
+        viewpoint (a whole-lattice sub-pixel bias no real camera has —
+        lenses low-pass); bilinear keeps edges sharp at texel scale but
+        sub-pixel smooth. The rotation de-correlates the corner lattices
+        across faces so periodic-aliasing matches can't gang up."""
+        n = tex.shape[1]
+        ca = jnp.cos(rot_per_face)[best_face]
+        sa = jnp.sin(rot_per_face)[best_face]
+        u0 = uv_face[..., 0] * scale
+        v0 = uv_face[..., 1] * scale
+        ur_ = ca * u0 - sa * v0
+        vr_ = sa * u0 + ca * v0
+        u_f = jnp.floor(ur_)
+        v_f = jnp.floor(vr_)
+        wu = (ur_ - u_f)[..., None]
+        wv = (vr_ - v_f)[..., None]
+        iu0 = jnp.mod(u_f.astype(jnp.int32), n)
+        iv0 = jnp.mod(v_f.astype(jnp.int32), n)
+        iu1 = jnp.mod(iu0 + 1, n)
+        iv1 = jnp.mod(iv0 + 1, n)
+        t00 = tex[best_face, iu0, iv0]
+        t01 = tex[best_face, iu0, iv1]
+        t10 = tex[best_face, iu1, iv0]
+        t11 = tex[best_face, iu1, iv1]
+        return ((1 - wu) * (1 - wv) * t00 + (1 - wu) * wv * t01
+                + wu * (1 - wv) * t10 + wu * wv * t11)     # [H,W,C]
+
+    rot_c = jnp.asarray([0.17, 0.43, 0.71, 0.93, 1.19, 1.41])
+    rot_f = jnp.asarray([0.29, 0.61, 0.87, 1.07, 1.33, 1.57])
+    col = (0.45 * sample(coarse_tex, coarse_scale, rot_c)
+           + 0.35 * sample(fine_tex, fine_scale, rot_f)
+           + 0.5 * sample(blob_tex, fine_scale, rot_f))
     col = jnp.clip(col, 0.0, 1.0)
     # mild distance shading for realism (keeps texture contrast dominant)
     shade = 1.0 / (1.0 + 0.02 * best_t * best_t)

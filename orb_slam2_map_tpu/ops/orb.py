@@ -108,8 +108,10 @@ def detect_level(img: jnp.ndarray, n_keep: int, cfg: ORBConfig):
     border = cfg.edge_threshold - 3  # FAST evaluated inside this margin (:770)
     cs = cfg.cell_size
 
-    score_hi = fast.nms3(fast.fast_score(img, float(cfg.ini_th_fast)))
-    score_lo = fast.nms3(fast.fast_score(img, float(cfg.min_th_fast)))
+    raw_hi = fast.fast_score(img, float(cfg.ini_th_fast))
+    raw_lo = fast.fast_score(img, float(cfg.min_th_fast))
+    score_hi = fast.nms3(raw_hi)
+    score_lo = fast.nms3(raw_lo)
 
     # mask the border
     rr = jnp.arange(H)[:, None]
@@ -141,9 +143,37 @@ def detect_level(img: jnp.ndarray, n_keep: int, cfg: ORBConfig):
     px = cx * cs + top_idx % cs
 
     vals = top_vals.reshape(-1)
-    pys = py.reshape(-1).astype(jnp.float32)
-    pxs = px.reshape(-1).astype(jnp.float32)
+    pys_i = py.reshape(-1)
+    pxs_i = px.reshape(-1)
     ranks = jnp.broadcast_to(jnp.arange(R)[None, :], top_vals.shape).reshape(-1)
+
+    # sub-pixel refinement: 1D quadratic fits on the pre-NMS score map
+    # around each peak. Integer FAST corners carry a coherent quantization
+    # bias under viewpoint change (the whole lattice snaps together),
+    # which biases pose estimates at far range; the parabola fit removes
+    # most of it. (An improvement over the reference, which keeps integer
+    # FAST positions, src/ORBextractor.cc:819-827.)
+    score_full = jnp.pad(jnp.where(raw_hi > 0, raw_hi, raw_lo),
+                         ((1, 1 + pad_h), (1, 1 + pad_w)))
+    yc = pys_i + 1
+    xc = pxs_i + 1
+    s_c = score_full[yc, xc]
+    s_l = score_full[yc, xc - 1]
+    s_r = score_full[yc, xc + 1]
+    s_u = score_full[yc - 1, xc]
+    s_d = score_full[yc + 1, xc]
+    denx = 2.0 * s_c - s_l - s_r
+    deny = 2.0 * s_c - s_u - s_d
+    dx = jnp.where(jnp.abs(denx) > 1e-6,
+                   0.5 * (s_r - s_l) / jnp.where(jnp.abs(denx) > 1e-6,
+                                                 denx, 1.0), 0.0)
+    dy = jnp.where(jnp.abs(deny) > 1e-6,
+                   0.5 * (s_d - s_u) / jnp.where(jnp.abs(deny) > 1e-6,
+                                                 deny, 1.0), 0.0)
+    dx = jnp.clip(dx, -0.5, 0.5)
+    dy = jnp.clip(dy, -0.5, 0.5)
+    pxs = pxs_i.astype(jnp.float32) + dx
+    pys = pys_i.astype(jnp.float32) + dy
 
     valid = vals > 0.0
     # rank-major priority: all best-in-cell first, then second-best, ...

@@ -1,0 +1,306 @@
+"""Global bundle adjustment: implicit-Schur conjugate gradient.
+
+Replaces Optimizer::GlobalBundleAdjustemnt (reference: src/Optimizer.cc:
+41-237 — g2o LM over all keyframes + landmarks with Schur
+marginalization). A dense Schur complement is O(K^2) memory and fine for
+the local window (optim/local_ba.py) but not for whole-map BA; here the
+reduced camera system S = Hcc - W Hpp^-1 W^T is never materialized:
+
+  * observations live in flat [O] arrays (cam_idx, pnt_idx, uv, ...);
+  * residuals/Jacobians are one batched evaluation over O;
+  * Hpp (3x3 blocks) is a segment-sum + closed-form inverse;
+  * S @ x inside CG is four segment-sum/gather passes — pure
+    gather/scatter + small einsums, which XLA fuses well on TPU;
+  * block-Jacobi (6x6 camera blocks) preconditioning.
+
+This structure is exactly what shards across devices: each device owns an
+observation (and point) shard and the CG reductions become psums
+(parallel/dist_ba.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..geom import se3
+from ..geom.camera import PinholeCamera
+from . import residuals as res_mod
+
+
+class GBAProblem(NamedTuple):
+    R: jnp.ndarray          # [K, 3, 3]
+    t: jnp.ndarray          # [K, 3]
+    X: jnp.ndarray          # [P, 3]
+    cam_free: jnp.ndarray   # [K] bool (False = held fixed)
+    cam_idx: jnp.ndarray    # [O] int32
+    pnt_idx: jnp.ndarray    # [O] int32
+    uv: jnp.ndarray         # [O, 2]
+    ur: jnp.ndarray         # [O]
+    inv_sigma2: jnp.ndarray # [O]
+    obs_valid: jnp.ndarray  # [O] bool
+
+
+class GBAResult(NamedTuple):
+    R: jnp.ndarray
+    t: jnp.ndarray
+    X: jnp.ndarray
+    inliers: jnp.ndarray    # [O] bool
+    chi2: jnp.ndarray
+
+
+def _obs_terms(cam: PinholeCamera, p: GBAProblem, use_huber: bool):
+    Rg = p.R[p.cam_idx]
+    tg = p.t[p.cam_idx]
+    Xg = p.X[p.pnt_idx]
+    e, Xc = res_mod.project_residual(cam, Rg, tg, Xg, p.uv, p.ur)
+    is_stereo = p.ur >= 0
+    w = jnp.where(p.obs_valid & (Xc[..., 2] > 1e-6), p.inv_sigma2, 0.0)
+    chi2 = jnp.einsum("oi,oi->o", e, e) * p.inv_sigma2
+    if use_huber:
+        d2 = jnp.where(is_stereo, res_mod.CHI2_STEREO, res_mod.CHI2_MONO)
+        w = w * res_mod.huber_weight(chi2, d2)
+    Jpt = res_mod.proj_jacobian_point(cam, Xc, is_stereo)    # [O,3,3]
+    Jc = res_mod.pose_jacobian_from_point_jac(Jpt, Xc)       # [O,3,6]
+    Jp = Jpt @ Rg                                             # [O,3,3]
+    # zero camera Jacobian for fixed cameras
+    free = p.cam_free[p.cam_idx]
+    Jc = jnp.where(free[:, None, None], Jc, 0.0)
+    return e, Jc, Jp, w, chi2
+
+
+def _inv3(M):
+    a, b, c = M[..., 0, 0], M[..., 0, 1], M[..., 0, 2]
+    d, e, f = M[..., 1, 0], M[..., 1, 1], M[..., 1, 2]
+    g, h, i = M[..., 2, 0], M[..., 2, 1], M[..., 2, 2]
+    A = e * i - f * h
+    B = -(d * i - f * g)
+    C = d * h - e * g
+    det = a * A + b * B + c * C
+    det = jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
+    adj = jnp.stack([
+        jnp.stack([A, -(b * i - c * h), b * f - c * e], -1),
+        jnp.stack([B, a * i - c * g, -(a * f - c * d)], -1),
+        jnp.stack([C, -(a * h - b * g), a * e - b * d], -1)], -2)
+    return adj / det[..., None, None]
+
+
+def _inv6(M):
+    return jnp.linalg.inv(M + 1e-9 * jnp.eye(6, dtype=M.dtype))
+
+
+def _gn_step(cam, p: GBAProblem, lam, use_huber: bool, cg_iters: int,
+             psum_axis=None):
+    """One damped implicit-Schur GN step. psum_axis: if set, observation
+    arrays are sharded over that mesh axis and reductions are psummed
+    (the distributed-BA path)."""
+    K = p.R.shape[0]
+    P = p.X.shape[0]
+    e, Jc, Jp, w, _ = _obs_terms(cam, p, use_huber)
+
+    def seg_cam(vals):  # [O, ...] -> [K, ...]
+        out = jax.ops.segment_sum(vals, p.cam_idx, num_segments=K)
+        if psum_axis is not None:
+            out = jax.lax.psum(out, psum_axis)
+        return out
+
+    def seg_pnt(vals):  # [O, ...] -> [P, ...]
+        out = jax.ops.segment_sum(vals, p.pnt_idx, num_segments=P)
+        # points are owner-sharded in the distributed path: no psum
+        return out
+
+    # fixed blocks
+    Hcc = seg_cam(jnp.einsum("oai,o,oaj->oij", Jc, w, Jc))   # [K,6,6]
+    gc = seg_cam(-jnp.einsum("oai,o,oa->oi", Jc, w, e))      # [K,6]
+    Hpp = seg_pnt(jnp.einsum("oai,o,oaj->oij", Jp, w, Jp))   # [P,3,3]
+    gp = seg_pnt(-jnp.einsum("oai,o,oa->oi", Jp, w, e))      # [P,3]
+
+    eye3 = jnp.eye(3, dtype=Hpp.dtype)
+    eye6 = jnp.eye(6, dtype=Hcc.dtype)
+    Hpp_d = Hpp + lam * (jnp.abs(Hpp) * eye3 + 1e-8 * eye3)
+    has_obs = Hpp[..., 0, 0] + Hpp[..., 1, 1] + Hpp[..., 2, 2] > 0
+    Hpp_d = jnp.where(has_obs[:, None, None], Hpp_d,
+                      jnp.broadcast_to(eye3, Hpp_d.shape))
+    Hpp_inv = _inv3(Hpp_d)
+    Hcc_d = Hcc + lam * (jnp.abs(Hcc) * eye6 + 1e-8 * eye6)
+
+    # careful index bookkeeping for the coupling terms:
+    #   W[c,p] = sum_{o in (c,p)} Jc_o^T w Jp_o  (6x3)
+    #   (W^T x)_p = sum_o Jp_o^T w (Jc_o x_c)
+    def matvec(x):
+        jc_x = jnp.einsum("oai,oi->oa", Jc, x[p.cam_idx])     # [O,3]
+        v = seg_pnt(jnp.einsum("oab,o,oa->ob", Jp, w, jc_x))  # [P,3]
+        c = jnp.einsum("pij,pj->pi", Hpp_inv, v)              # [P,3]
+        jp_c = jnp.einsum("oab,ob->oa", Jp, c[p.pnt_idx])     # [O,3]
+        back = seg_cam(jnp.einsum("oai,o,oa->oi", Jc, w, jp_c))
+        hx = jnp.einsum("kij,kj->ki", Hcc_d, x)
+        return hx - back
+
+    # rhs = gc - W Hpp^-1 gp
+    cpre = jnp.einsum("pij,pj->pi", Hpp_inv, gp)
+    jp_c = jnp.einsum("oab,ob->oa", Jp, cpre[p.pnt_idx])
+    rhs = gc - seg_cam(jnp.einsum("oai,o,oa->oi", Jc, w, jp_c))
+
+    # block-Jacobi preconditioner
+    Minv = _inv6(Hcc_d)
+    pinned = ~p.cam_free
+
+    def precond(r):
+        out = jnp.einsum("kij,kj->ki", Minv, r)
+        return jnp.where(pinned[:, None], 0.0, out)
+
+    def dot(a, b):
+        return jnp.sum(a * b)
+
+    x0 = jnp.zeros_like(rhs)
+    r0 = jnp.where(pinned[:, None], 0.0, rhs)
+    z0 = precond(r0)
+
+    def cg_body(_, carry):
+        x, r, z, pdir, rz = carry
+        Ap = matvec(pdir)
+        Ap = jnp.where(pinned[:, None], 0.0, Ap)
+        alpha = rz / jnp.maximum(dot(pdir, Ap), 1e-20)
+        x = x + alpha * pdir
+        r = r - alpha * Ap
+        z = precond(r)
+        rz_new = dot(r, z)
+        beta = rz_new / jnp.maximum(rz, 1e-20)
+        pdir = z + beta * pdir
+        return x, r, z, pdir, rz_new
+
+    dc = jax.lax.fori_loop(
+        0, cg_iters, cg_body, (x0, r0, z0, z0, dot(r0, z0)))[0]
+    dc = jnp.where(pinned[:, None], 0.0, dc)
+
+    # back-substitute landmarks: dp = Hpp^-1 (gp - W^T dc)
+    jc_dc = jnp.einsum("oai,oi->oa", Jc, dc[p.cam_idx])
+    wtd = seg_pnt(jnp.einsum("oab,o,oa->ob", Jp, w, jc_dc))
+    dp = jnp.einsum("pij,pj->pi", Hpp_inv, gp - wtd)
+    dp = jnp.where(has_obs[:, None], dp, 0.0)
+
+    dR, dt = se3.se3_exp(dc)
+    R_new, t_new = se3.compose(dR, dt, p.R, p.t)
+    R_new = jnp.where(p.cam_free[:, None, None], R_new, p.R)
+    t_new = jnp.where(p.cam_free[:, None], t_new, p.t)
+    X_new = p.X + dp
+    return R_new, t_new, X_new
+
+
+def _total_chi2(cam, p: GBAProblem, psum_axis=None):
+    e, _, _, w, chi2 = _obs_terms(cam, p, use_huber=False)
+    active = w > 0
+    total = jnp.sum(jnp.where(active, chi2, 0.0))
+    if psum_axis is not None:
+        total = jax.lax.psum(total, psum_axis)
+    return total, chi2
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2, 3, 4))
+def global_ba(cam: PinholeCamera, prob: GBAProblem, iters: int = 20,
+              cg_iters: int = 24, use_huber: bool = True) -> GBAResult:
+    return global_ba_inner(cam, prob, iters, cg_iters, use_huber, None)
+
+
+def global_ba_inner(cam, prob, iters, cg_iters, use_huber,
+                    psum_axis) -> GBAResult:
+    """Traceable body shared by the single-chip jit and the shard_map
+    distributed path (parallel/dist_ba.py): with psum_axis set, the
+    observation/point arrays are per-device shards and all camera-side
+    reductions ride the mesh collective."""
+    def body(_, carry):
+        p, lam = carry
+        R_new, t_new, X_new = _gn_step(cam, p, lam, use_huber, cg_iters,
+                                       psum_axis)
+        old, _ = _total_chi2(cam, p, psum_axis)
+        cand = p._replace(R=R_new, t=t_new, X=X_new)
+        new, _ = _total_chi2(cam, cand, psum_axis)
+        ok = (new < old) & jnp.isfinite(new)
+        p = p._replace(
+            R=jnp.where(ok, R_new, p.R),
+            t=jnp.where(ok, t_new, p.t),
+            X=jnp.where(ok, X_new, p.X),
+        )
+        lam = jnp.clip(jnp.where(ok, lam * 0.4, lam * 5.0), 1e-9, 1e5)
+        return p, lam
+
+    prob, _ = jax.lax.fori_loop(0, iters, body, (prob, jnp.float32(1e-5)))
+    total, chi2 = _total_chi2(cam, prob, psum_axis)
+    is_stereo = prob.ur >= 0
+    th = jnp.where(is_stereo, res_mod.CHI2_STEREO, res_mod.CHI2_MONO)
+    inl = prob.obs_valid & (chi2 <= th)
+    return GBAResult(R=prob.R, t=prob.t, X=prob.X, inliers=inl, chi2=total)
+
+
+# ---------------------------------------------------------------------------
+# host-side assembly from the map store
+# ---------------------------------------------------------------------------
+
+def run_global_ba(cfg, map_store, fixed_kf: int, iters: int = 20):
+    """Assemble a GBAProblem from the map, run, write back (staged
+    write-back discipline: results only touch the store at the end,
+    mirroring mTcwGBA, reference: src/Optimizer.cc:121-135, 207-235)."""
+    m = map_store
+    kfs = m.keyframe_ids()
+    mids = m.point_ids()
+    if len(kfs) < 2 or len(mids) < 10:
+        return
+    K = len(kfs)
+    kf_slot = np.full(m.K, -1, np.int64)
+    kf_slot[kfs] = np.arange(K)
+    P = len(mids)
+    mp_slot = np.full(m.M, -1, np.int64)
+    mp_slot[mids] = np.arange(P)
+
+    inv_sigma2_tab = 1.0 / np.asarray(cfg.orb.level_sigma2, np.float32)
+    cam_i, pnt_i, uvs, urs, ivs = [], [], [], [], []
+    for k in kfs:
+        obs = m.kf_obs[k]
+        kp = np.nonzero((obs >= 0) & (mp_slot[np.clip(obs, 0, None)] >= 0))[0]
+        if len(kp) == 0:
+            continue
+        cam_i.append(np.full(len(kp), kf_slot[k]))
+        pnt_i.append(mp_slot[obs[kp]])
+        uvs.append(m.kf_xy[k][kp])
+        urs.append(m.kf_ur[k][kp])
+        ivs.append(inv_sigma2_tab[m.kf_level[k][kp]])
+    if not cam_i:
+        return
+    cam_i = np.concatenate(cam_i)
+    pnt_i = np.concatenate(pnt_i)
+    uvs = np.concatenate(uvs)
+    urs = np.concatenate(urs)
+    ivs = np.concatenate(ivs)
+    O = len(cam_i)
+    O_pad = 1 << (O - 1).bit_length()
+
+    def pad(a, shape, fill=0):
+        out = np.full((O_pad,) + shape, fill, dtype=a.dtype)
+        out[:O] = a
+        return out
+
+    cam_free = np.ones(K, bool)
+    if fixed_kf >= 0 and kf_slot[fixed_kf] >= 0:
+        cam_free[kf_slot[fixed_kf]] = False
+
+    prob = GBAProblem(
+        R=jnp.asarray(m.kf_R[kfs]), t=jnp.asarray(m.kf_t[kfs]),
+        X=jnp.asarray(m.mp_pos[mids]),
+        cam_free=jnp.asarray(cam_free),
+        cam_idx=jnp.asarray(pad(cam_i.astype(np.int32), ())),
+        pnt_idx=jnp.asarray(pad(pnt_i.astype(np.int32), ())),
+        uv=jnp.asarray(pad(uvs.astype(np.float32), (2,))),
+        ur=jnp.asarray(pad(urs.astype(np.float32), (), fill=-1.0)),
+        inv_sigma2=jnp.asarray(pad(ivs.astype(np.float32), (), fill=1.0)),
+        obs_valid=jnp.asarray(
+            np.arange(O_pad) < O),
+    )
+    res = global_ba(cfg.camera, prob, iters)
+    m.kf_R[kfs] = np.asarray(res.R)
+    m.kf_t[kfs] = np.asarray(res.t)
+    m.mp_pos[mids] = np.asarray(res.X)
+    m.version += 1

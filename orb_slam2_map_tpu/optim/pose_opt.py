@@ -110,3 +110,33 @@ def pose_optimize(cam: PinholeCamera, R0, t0, X, uv, ur, inv_sigma2,
 
 
 pose_optimize_jit = jax.jit(pose_optimize, static_argnums=(0,))
+
+
+def pose_optimize_multi(cam: PinholeCamera, R0s, t0s, X, uv, ur,
+                        inv_sigma2, valid) -> PoseOptResult:
+    """Multi-start pose optimization: run the full LM schedule from a
+    batch of initializations [S, 3, 3] / [S, 3] (vmapped — near-free on
+    TPU) and keep the basin with the most inliers (ties: lowest inlier
+    chi2).
+
+    Robust reweighting makes the cost surface init-dependent (IRLS can
+    have spurious stationary points under weakly-observable geometry —
+    e.g. all-far-points views where translation-along-axis is barely
+    constrained); the reference's g2o runs a single init from the motion
+    model and silently accepts whichever basin that lands in. Multi-start
+    is the batched-hardware answer.
+    """
+    results = jax.vmap(
+        lambda R0, t0: pose_optimize(cam, R0, t0, X, uv, ur, inv_sigma2,
+                                     valid)
+    )(R0s, t0s)
+    chi_inl = jnp.where(results.inliers, results.chi2, 0.0).sum(axis=1)
+    score = results.n_inliers.astype(jnp.float32) - 1e-4 * chi_inl
+    best = jnp.argmax(score)
+    return PoseOptResult(R=results.R[best], t=results.t[best],
+                         inliers=results.inliers[best],
+                         n_inliers=results.n_inliers[best],
+                         chi2=results.chi2[best])
+
+
+pose_optimize_multi_jit = jax.jit(pose_optimize_multi, static_argnums=(0,))

@@ -1,0 +1,452 @@
+"""Local mapping: keyframe processing, point culling, triangulation,
+fusion, local BA, keyframe culling.
+
+Replaces the reference's LocalMapping thread (reference:
+src/LocalMapping.cc, 762 LoC). The thread + 3ms-poll queue becomes a
+host-orchestrated stage invoked per keyframe; the numeric core (epipolar
+triangulation matching, fusion matching, local BA) runs as fixed-shape
+device programs. Interlocks (InterruptBA / stop / accept flags,
+reference :555-630) disappear: stages are serialized by the orchestrator,
+matching the reference's semantics without data races by construction.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import SystemConfig
+from ..geom import se3 as se3_np  # jnp-based but works on np inputs
+from ..ops import matching
+from ..optim import local_ba, triangulate
+from .mapstore import MapStore
+
+# fixed device capacities for the local-BA problem
+BA_MAX_FREE = 16
+BA_MAX_FIXED = 16
+BA_MAX_POINTS = 4096
+
+
+class LocalMapper:
+    def __init__(self, cfg: SystemConfig, map_store: MapStore,
+                 loop_closer=None):
+        self.cfg = cfg
+        self.map = map_store
+        self.loop_closer = loop_closer
+        self.recent_points: List[np.ndarray] = []  # queues for culling
+        self.recent_kf: List[int] = []
+        self.enabled = True
+
+    # ------------------------------------------------------------------
+
+    def process_keyframe(self, kid: int):
+        """Full per-KF pipeline (reference: src/LocalMapping.cc:47-112
+        Run): bookkeeping -> point culling -> triangulate new points ->
+        fuse duplicates -> local BA -> KF culling -> feed loop closer."""
+        if not self.enabled:
+            return
+        self._process_new_keyframe(kid)
+        self._cull_map_points(kid)
+        if self.map.n_keyframes() > 1:
+            self._create_new_map_points(kid)
+            self._fuse_neighbors(kid)
+        if self.map.n_keyframes() > 2:
+            self._local_bundle_adjustment(kid)
+        self._cull_keyframes(kid)
+        if self.loop_closer is not None:
+            self.loop_closer.process_keyframe(kid)
+
+    # ------------------------------------------------------------------
+
+    def _process_new_keyframe(self, kid: int):
+        """(reference: src/LocalMapping.cc:128-168): refresh point
+        normals/descriptors and track recently added points."""
+        obs = self.map.kf_obs[kid]
+        mids = np.unique(obs[obs >= 0])
+        sf = np.asarray(self.cfg.orb.scale_factors, dtype=np.float32)
+        self.map.update_point_stats(mids, sf)
+        new_mask = self.map.mp_first_kf[mids] == kid
+        self.recent_points.append(mids[new_mask])
+        self.recent_kf.append(kid)
+
+    def _cull_map_points(self, kid: int):
+        """(reference: src/LocalMapping.cc:170-205): drop points with
+        found/visible < 0.25 or too few observations within 2 KFs of
+        creation."""
+        lcfg = self.cfg.local_mapping
+        keep_queues = []
+        to_erase = []
+        for created_kf, mids in zip(self.recent_kf, self.recent_points):
+            mids = mids[self.map.mp_exists[mids]]
+            age = kid - created_kf  # keyframes since creation (id distance)
+            ratio = (self.map.mp_found[mids] /
+                     np.maximum(self.map.mp_visible[mids], 1))
+            bad = ratio < lcfg.culling_found_ratio
+            if age >= 2:
+                # weighted obs count (stereo counts 2): reference gate is
+                # Observations() <= 3 (src/LocalMapping.cc:186)
+                bad |= self.map.mp_obs_count[mids] <= lcfg.culling_min_obs
+            to_erase.append(mids[bad])
+            if age <= 2:
+                keep_queues.append((created_kf, mids[~bad]))
+        if to_erase:
+            self.map.erase_points_bulk(np.concatenate(to_erase))
+        self.recent_kf = [k for k, _ in keep_queues]
+        self.recent_points = [m for _, m in keep_queues]
+
+    # ------------------------------------------------------------------
+
+    def _create_new_map_points(self, kid: int):
+        """Two-view triangulation with covisible neighbors (reference:
+        src/LocalMapping.cc:207-452). For RGB-D most points come from
+        depth at KF creation; triangulation adds the far/mono points.
+
+        Per neighbor: epipolar-gated descriptor matching of unmatched
+        keypoints (reference SearchForTriangulation, src/ORBmatcher.cc:
+        657-823) -> batched DLT -> acceptance gates."""
+        lcfg = self.cfg.local_mapping
+        cam = self.cfg.camera
+        n_neighbors = lcfg.triangulation_neighbors_stereo
+        neighbors = self.map.covisible_keyframes(kid, top_n=n_neighbors)
+        if len(neighbors) == 0:
+            return
+        R1 = self.map.kf_R[kid]
+        t1 = self.map.kf_t[kid]
+        c1 = -R1.T @ t1
+        obs1 = self.map.kf_obs[kid]
+        free1 = (obs1 < 0) & self.map.kf_kp_valid[kid]
+        sigma2 = np.asarray(self.cfg.orb.level_sigma2, dtype=np.float32)
+
+        for nb in neighbors:
+            R2 = self.map.kf_R[nb]
+            t2 = self.map.kf_t[nb]
+            c2 = -R2.T @ t2
+            baseline = np.linalg.norm(c2 - c1)
+            if baseline < cam.baseline:  # stereo/RGB-D gate (ref :252-261)
+                continue
+            obs2 = self.map.kf_obs[nb]
+            free2 = (obs2 < 0) & self.map.kf_kp_valid[nb]
+            if free1.sum() == 0 or free2.sum() == 0:
+                continue
+
+            # fundamental matrix F12 (reference: :536-553 ComputeF12)
+            R12 = R1 @ R2.T
+            t12 = -R1 @ R2.T @ t2 + t1
+            t12x = np.array([[0, -t12[2], t12[1]], [t12[2], 0, -t12[0]],
+                             [-t12[1], t12[0], 0]], dtype=np.float32)
+            K = np.asarray(cam.K)
+            F12 = np.linalg.inv(K).T @ t12x @ R12 @ np.linalg.inv(K)
+
+            gate = matching.epipolar_gate(
+                jnp.asarray(self.map.kf_xy[kid]),
+                jnp.asarray(self.map.kf_xy[nb]),
+                jnp.asarray(F12.T),
+                jnp.asarray(sigma2[self.map.kf_level[nb]]))
+            gate = np.asarray(gate) & free1[:, None] & free2[None, :]
+            dmat = np.asarray(matching.hamming_matrix(
+                jnp.asarray(self.map.kf_desc[kid]),
+                jnp.asarray(self.map.kf_desc[nb])))
+            res = matching.masked_nn(jnp.asarray(dmat), jnp.asarray(gate),
+                                     max_dist=50.0)
+            ok = np.asarray(
+                matching.resolve_duplicates(res.idx, res.dist, res.ok,
+                                            self.map.N))
+            rows = np.nonzero(ok)[0]
+            if len(rows) == 0:
+                continue
+            cols = np.asarray(res.idx)[rows]
+
+            # triangulate
+            P1 = np.asarray(triangulate.projection_matrix(
+                cam, jnp.asarray(R1), jnp.asarray(t1)))
+            P2 = np.asarray(triangulate.projection_matrix(
+                cam, jnp.asarray(R2), jnp.asarray(t2)))
+            X = np.asarray(triangulate.triangulate_dlt(
+                jnp.asarray(P1), jnp.asarray(P2),
+                jnp.asarray(self.map.kf_xy[kid][rows]),
+                jnp.asarray(self.map.kf_xy[nb][cols])))
+
+            good = np.asarray(triangulate.acceptance_gates(
+                cam, jnp.asarray(R1), jnp.asarray(t1), jnp.asarray(R2),
+                jnp.asarray(t2), jnp.asarray(X),
+                jnp.asarray(self.map.kf_xy[kid][rows]),
+                jnp.asarray(self.map.kf_xy[nb][cols]),
+                jnp.asarray(self.map.kf_ur[kid][rows]),
+                jnp.asarray(self.map.kf_ur[nb][cols]),
+                jnp.asarray(sigma2[self.map.kf_level[kid][rows]]),
+                jnp.asarray(sigma2[self.map.kf_level[nb][cols]]),
+                chi2_mono=lcfg.chi2_mono, chi2_stereo=lcfg.chi2_stereo))
+            rows, cols, X = rows[good], cols[good], X[good]
+            if len(rows) == 0:
+                continue
+            mids = self.map.alloc_points(len(rows))
+            self.map.mp_pos[mids] = X
+            self.map.mp_desc[mids] = self.map.kf_desc[kid][rows]
+            self.map.mp_level[mids] = self.map.kf_level[kid][rows]
+            self.map.mp_first_kf[mids] = kid
+            self.map.set_observations_bulk(kid, rows, mids)
+            self.map.set_observations_bulk(nb, cols, mids)
+            free1[rows] = False
+            self.map.update_point_stats(
+                mids, np.asarray(self.cfg.orb.scale_factors, np.float32))
+            if len(self.recent_points):
+                self.recent_points[-1] = np.concatenate(
+                    [self.recent_points[-1], mids])
+        self.map.update_connections(kid)
+
+    # ------------------------------------------------------------------
+
+    def _fuse_neighbors(self, kid: int):
+        """Two-way duplicate fusion with 1st+2nd ring neighbors
+        (reference: src/LocalMapping.cc:454-534 SearchInNeighbors +
+        src/ORBmatcher.cc:825-975 Fuse): project this KF's points into
+        each neighbor; merge matches that hit a keypoint already bound to
+        another point (keep the more-observed one)."""
+        first_ring = self.map.covisible_keyframes(kid, top_n=10)
+        targets = list(first_ring)
+        seen = set(targets) | {kid}
+        for k in first_ring:
+            for nb in self.map.covisible_keyframes(k, top_n=5):
+                if int(nb) not in seen:
+                    targets.append(int(nb))
+                    seen.add(int(nb))
+        obs_self = self.map.kf_obs[kid]
+        own = np.unique(obs_self[obs_self >= 0])
+        own = own[self.map.mp_exists[own]]
+        if len(own) == 0:
+            return
+        for nb in targets:
+            self._fuse_into(int(nb), own)
+        # reverse direction: neighbors' points into this KF
+        nb_points = []
+        for nb in targets:
+            o = self.map.kf_obs[nb]
+            nb_points.append(o[o >= 0])
+        if nb_points:
+            cand = np.unique(np.concatenate(nb_points))
+            cand = cand[self.map.mp_exists[cand]]
+            self._fuse_into(kid, cand)
+        # descriptors/normals + covisibility changed
+        self.map.update_point_stats(
+            own, np.asarray(self.cfg.orb.scale_factors, np.float32))
+        self.map.update_connections(kid)
+
+    def _fuse_into(self, kid: int, mids: np.ndarray):
+        """Project `mids` into KF `kid`; bind unbound keypoint hits, merge
+        conflicting ones (reference Fuse, src/ORBmatcher.cc:825-975)."""
+        if len(mids) == 0:
+            return
+        cam = self.cfg.camera
+        R = self.map.kf_R[kid]
+        t = self.map.kf_t[kid]
+        Xc = self.map.mp_pos[mids] @ R.T + t
+        z = Xc[:, 2]
+        u = cam.fx * Xc[:, 0] / np.maximum(z, 1e-9) + cam.cx
+        v = cam.fy * Xc[:, 1] / np.maximum(z, 1e-9) + cam.cy
+        visible = (z > 0.05) & (u >= 0) & (u < cam.width) & (v >= 0) & (v < cam.height)
+        # distance band + predicted level
+        Twc = self.map.kf_Twc(kid)
+        rays = self.map.mp_pos[mids] - Twc[:3, 3]
+        dist = np.linalg.norm(rays, axis=1)
+        visible &= (dist >= 0.8 * self.map.mp_min_dist[mids]) & (
+            dist <= 1.2 * self.map.mp_max_dist[mids])
+        if not visible.any():
+            return
+        sf = self.cfg.orb.scale_factor
+        ratio = np.maximum(self.map.mp_max_dist[mids], 1e-9) / np.maximum(dist, 1e-9)
+        pred = np.clip(np.ceil(np.log(ratio) / np.log(sf)).astype(np.int32),
+                       0, self.cfg.orb.n_levels - 1)
+        radius = 3.0 * np.asarray(self.cfg.orb.scale_factors)[pred]
+
+        uvq = np.stack([u, v], axis=1).astype(np.float32)
+        gate = (np.asarray(matching.window_gate(
+                    jnp.asarray(uvq), jnp.asarray(self.map.kf_xy[kid]),
+                    jnp.asarray(radius.astype(np.float32))))
+                & np.asarray(matching.level_gate(
+                    jnp.asarray(pred), jnp.asarray(self.map.kf_level[kid]),
+                    min_delta=-1, max_delta=0))
+                & visible[:, None] & self.map.kf_kp_valid[kid][None, :])
+        dmat = matching.hamming_matrix(jnp.asarray(self.map.mp_desc[mids]),
+                                       jnp.asarray(self.map.kf_desc[kid]))
+        res = matching.masked_nn(dmat, jnp.asarray(gate), max_dist=50.0)
+        keep = np.asarray(matching.resolve_duplicates(
+            res.idx, res.dist, res.ok, self.map.N))
+        rows = np.nonzero(keep)[0]
+        kp = np.asarray(res.idx)[rows]
+        for r, k in zip(rows, kp):
+            mid = int(mids[r])
+            bound = int(self.map.kf_obs[kid, k])
+            if bound == mid:
+                continue
+            if bound >= 0 and self.map.mp_exists[bound]:
+                # merge: keep the more-observed point (reference
+                # MapPoint::Replace, src/MapPoint.cc:177-215)
+                if self.map.mp_obs_count[bound] >= self.map.mp_obs_count[mid]:
+                    self._replace_point(mid, bound)
+                else:
+                    self._replace_point(bound, mid)
+            else:
+                self.map.kf_obs[kid, k] = mid
+        self.map._rebuild_incidence_row(kid)
+
+    def _replace_point(self, old: int, new: int):
+        """Re-bind every observation of `old` to `new`, then erase `old`."""
+        ks = np.nonzero(self.map.incidence[:, old])[0]
+        for k in ks:
+            sel = self.map.kf_obs[k] == old
+            # avoid double-binding new in the same KF
+            if (self.map.kf_obs[k] == new).any():
+                self.map.kf_obs[k][sel] = -1
+            else:
+                self.map.kf_obs[k][sel] = new
+            self.map._rebuild_incidence_row(k)
+        self.map.mp_found[new] += self.map.mp_found[old]
+        self.map.mp_visible[new] += self.map.mp_visible[old]
+        self.map.mp_exists[old] = False
+        self.map.mp_obs_count[old] = 0
+
+    # ------------------------------------------------------------------
+
+    def _local_bundle_adjustment(self, kid: int):
+        """Assemble the dense padded BA problem and run the jitted solver
+        (reference: src/Optimizer.cc:453-778)."""
+        mstore = self.map
+        neighbors = mstore.covisible_keyframes(kid)
+        free_ids = np.concatenate([[kid], neighbors])[:BA_MAX_FREE]
+        # never move the map origin (reference fixes KF id 0, :500)
+        free_ids = free_ids[free_ids != mstore.kf_origin]
+        if len(free_ids) == 0:
+            return
+        # points seen by the free KFs
+        inc = mstore.incidence[free_ids].any(axis=0) & mstore.mp_exists
+        mids = np.nonzero(inc)[0]
+        if len(mids) == 0:
+            return
+        if len(mids) > BA_MAX_POINTS:
+            order = np.argsort(-mstore.mp_obs_count[mids], kind="stable")
+            mids = np.sort(mids[order[:BA_MAX_POINTS]])
+        # fixed KFs: other observers of those points (+ origin if observer)
+        observers = mstore.incidence[:, mids].any(axis=1) & mstore.kf_exists
+        observers[free_ids] = False
+        fix_ids = np.nonzero(observers)[0]
+        if len(fix_ids) > BA_MAX_FIXED:
+            # keep the most strongly covisible fixed observers
+            w = mstore.covis[fix_ids][:, free_ids].sum(axis=1)
+            fix_ids = fix_ids[np.argsort(-w, kind="stable")[:BA_MAX_FIXED]]
+
+        prob = self._build_problem(free_ids, fix_ids, mids)
+        res = local_ba.local_ba_jit(self.cfg.camera, prob)
+
+        # write back poses + points
+        K = len(free_ids)
+        mstore.kf_R[free_ids] = np.asarray(res.R_free)[:K]
+        mstore.kf_t[free_ids] = np.asarray(res.t_free)[:K]
+        P = len(mids)
+        mstore.mp_pos[mids] = np.asarray(res.X)[:P]
+
+        # remove outlier observations (reference: :714-748)
+        inl_free = np.asarray(res.inlier_free)[:P, :K]
+        mask_free = np.asarray(prob.mask_free)[:P, :K]
+        bad = mask_free & ~inl_free
+        for j, k in enumerate(free_ids):
+            rows = np.nonzero(bad[:, j])[0]
+            if len(rows) == 0:
+                continue
+            bad_mids = mids[rows]
+            sel = np.isin(mstore.kf_obs[k], bad_mids)
+            mstore.kf_obs[k][sel] = -1
+            mstore._rebuild_incidence_row(k)
+        self.map.version += 1
+
+    def _build_problem(self, free_ids, fix_ids, mids) -> local_ba.BAProblem:
+        """Gather the dense [P, K] observation grids from the SoA map."""
+        mstore = self.map
+        P, K, F = BA_MAX_POINTS, BA_MAX_FREE, BA_MAX_FIXED
+        n_free, n_fix, n_pts = len(free_ids), len(fix_ids), len(mids)
+
+        def grids(ids, C):
+            uv = np.zeros((P, C, 2), dtype=np.float32)
+            ur = np.full((P, C), -1.0, dtype=np.float32)
+            iv = np.ones((P, C), dtype=np.float32)
+            mask = np.zeros((P, C), dtype=bool)
+            inv_sigma2 = 1.0 / np.asarray(self.cfg.orb.level_sigma2,
+                                          dtype=np.float32)
+            # mp id -> row index
+            row_of = np.full(mstore.M, -1, dtype=np.int64)
+            row_of[mids] = np.arange(n_pts)
+            for j, k in enumerate(ids):
+                obs = mstore.kf_obs[k]
+                kp = np.nonzero(obs >= 0)[0]
+                rows = row_of[obs[kp]]
+                sel = rows >= 0
+                kp, rows = kp[sel], rows[sel]
+                uv[rows, j] = mstore.kf_xy[k][kp]
+                ur[rows, j] = mstore.kf_ur[k][kp]
+                iv[rows, j] = inv_sigma2[mstore.kf_level[k][kp]]
+                mask[rows, j] = True
+            return uv, ur, iv, mask
+
+        uv_f, ur_f, iv_f, m_f = grids(free_ids, K)
+        uv_x, ur_x, iv_x, m_x = grids(fix_ids, F)
+
+        def pad_poses(ids, C):
+            R = np.tile(np.eye(3, dtype=np.float32), (C, 1, 1))
+            t = np.zeros((C, 3), dtype=np.float32)
+            R[:len(ids)] = mstore.kf_R[ids]
+            t[:len(ids)] = mstore.kf_t[ids]
+            return R, t
+
+        R_free, t_free = pad_poses(free_ids, K)
+        R_fix, t_fix = pad_poses(fix_ids, F)
+        X = np.zeros((P, 3), dtype=np.float32)
+        X[:n_pts] = mstore.mp_pos[mids]
+        cam_valid = np.zeros(K, dtype=bool)
+        cam_valid[:n_free] = True
+        point_valid = np.zeros(P, dtype=bool)
+        point_valid[:n_pts] = True
+
+        return local_ba.BAProblem(
+            R_free=jnp.asarray(R_free), t_free=jnp.asarray(t_free),
+            R_fix=jnp.asarray(R_fix), t_fix=jnp.asarray(t_fix),
+            X=jnp.asarray(X), cam_valid=jnp.asarray(cam_valid),
+            point_valid=jnp.asarray(point_valid),
+            uv_free=jnp.asarray(uv_f), ur_free=jnp.asarray(ur_f),
+            inv_sigma2_free=jnp.asarray(iv_f), mask_free=jnp.asarray(m_f),
+            uv_fix=jnp.asarray(uv_x), ur_fix=jnp.asarray(ur_x),
+            inv_sigma2_fix=jnp.asarray(iv_x), mask_fix=jnp.asarray(m_x),
+        )
+
+    # ------------------------------------------------------------------
+
+    def _cull_keyframes(self, kid: int):
+        """Redundant-KF culling (reference: src/LocalMapping.cc:632-698):
+        a local KF whose map points are >= 90% seen by >= 3 other KFs at
+        the same or finer scale is removed."""
+        lcfg = self.cfg.local_mapping
+        for k in self.map.covisible_keyframes(kid):
+            k = int(k)
+            if k == self.map.kf_origin or k == kid:
+                continue
+            obs = self.map.kf_obs[k]
+            kp = np.nonzero(obs >= 0)[0]
+            mids = obs[kp]
+            alive = self.map.mp_exists[mids]
+            kp, mids = kp[alive], mids[alive]
+            if len(mids) == 0:
+                continue
+            levels = self.map.kf_level[k][kp]
+            redundant = 0
+            # vectorized: for each point, count observers at <= level+1
+            obs_count = self.map.mp_obs_count[mids]
+            candidates = obs_count >= lcfg.kf_culling_min_obs + 1
+            for i in np.nonzero(candidates)[0]:
+                kfs, idxs = self.map.point_observers(int(mids[i]))
+                sel = kfs != k
+                finer = self.map.kf_level[kfs[sel], idxs[sel]] <= levels[i] + 1
+                if finer.sum() >= lcfg.kf_culling_min_obs:
+                    redundant += 1
+            if redundant > lcfg.kf_culling_redundancy * len(mids):
+                self.map.erase_keyframe(k)

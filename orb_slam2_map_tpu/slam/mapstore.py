@@ -65,6 +65,10 @@ class MapStore:
 
         # --- graph ---
         self.incidence = np.zeros((K, M), dtype=bool)       # KF observes MP
+        # observation weights: stereo/RGB-D observations count 2, mono 1
+        # (reference: MapPoint::AddObservation nObs += 2 when mvuRight >= 0
+        # — this drives the keyframe policy and culling thresholds)
+        self.obs_weight = np.zeros((K, M), dtype=np.int8)
         self.covis = np.zeros((K, K), dtype=np.int32)
         self.parent = np.full(K, -1, dtype=np.int32)
         self.loop_edges: List[Tuple[int, int]] = []
@@ -148,13 +152,16 @@ class MapStore:
 
     def _rebuild_incidence_row(self, kid: int):
         row = np.zeros(self.M, dtype=bool)
+        w_row = np.zeros(self.M, dtype=np.int8)
         obs = self.kf_obs[kid]
         valid = obs >= 0
         row[obs[valid]] = True
-        # update mp obs counts for changed entries
-        delta = row.astype(np.int32) - self.incidence[kid].astype(np.int32)
+        kp = np.nonzero(valid)[0]
+        w_row[obs[kp]] = np.where(self.kf_ur[kid][kp] >= 0, 2, 1)
+        delta = w_row.astype(np.int32) - self.obs_weight[kid].astype(np.int32)
         self.mp_obs_count += delta
         self.incidence[kid] = row
+        self.obs_weight[kid] = w_row
 
     def set_observation(self, kid: int, kp_idx: int, mid: int):
         old = self.kf_obs[kid, kp_idx]
@@ -222,6 +229,7 @@ class MapStore:
         for k in ks:
             self.kf_obs[k][self.kf_obs[k] == mid] = -1
             self.incidence[k, mid] = False
+            self.obs_weight[k, mid] = 0
         self.mp_exists[mid] = False
         self.mp_obs_count[mid] = 0
         self.version += 1
@@ -233,6 +241,7 @@ class MapStore:
         sel[mids] = True
         self.kf_obs[np.isin(self.kf_obs, mids)] = -1
         self.incidence[:, sel] = False
+        self.obs_weight[:, sel] = 0
         self.mp_exists[sel] = False
         self.mp_obs_count[sel] = 0
         self.version += 1

@@ -98,7 +98,8 @@ def search_by_projection_local(cfg: SystemConfig, R, t,
 def search_by_projection_last_frame(cfg: SystemConfig, R, t,
                                     last_xw, last_valid, th: float,
                                     last_level, last_ur, last_desc,
-                                    f: Frame) -> ProjMatches:
+                                    f: Frame,
+                                    last_angle=None) -> ProjMatches:
     """Last-frame tracked points -> current frame for the motion model
     (reference: src/ORBmatcher.cc:1328-1470 SearchByProjection(F, LastF)).
 
@@ -133,6 +134,11 @@ def search_by_projection_last_frame(cfg: SystemConfig, R, t,
     dmat = matching.hamming_matrix(last_desc, f.desc)
     res = matching.masked_nn(dmat, gate, max_dist=100.0)
     ok = res.ok & visible
+    if last_angle is not None:
+        # rotation-histogram consistency, as the reference's motion-model
+        # matcher applies (src/ORBmatcher.cc:1435-1464, check_orientation)
+        ok = matching.rotation_consistency(last_angle, f.angle,
+                                           res.idx, ok)
     keep = matching.resolve_duplicates(res.idx, res.dist, ok, f.capacity)
     return ProjMatches(kp_idx=res.idx, dist=res.dist, ok=keep, visible=visible)
 

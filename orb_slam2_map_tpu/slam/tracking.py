@@ -215,7 +215,7 @@ class Tracker:
                 self.cfg, jnp.asarray(R_pred), jnp.asarray(t_pred),
                 jnp.asarray(last_xw), jnp.asarray(last_valid), float(radius),
                 self.last_frame.level, self.last_frame.ur,
-                self.last_frame.desc, f)
+                self.last_frame.desc, f, self.last_frame.angle)
             if int(np.asarray(m.ok).sum()) >= tcfg.motion_model_min_matches:
                 matches = m
                 break
@@ -228,8 +228,11 @@ class Tracker:
         uv = np.asarray(f.xy)[kp_of]
         ur = np.asarray(f.ur)[kp_of]
         inv_s2 = np.asarray(f.inv_sigma2)[kp_of]
-        res = pose_opt.pose_optimize_jit(
-            self.cfg.camera, jnp.asarray(R_pred), jnp.asarray(t_pred),
+        # multi-start: motion-model prediction + last optimized pose
+        R0s = np.stack([R_pred, Rl]).astype(np.float32)
+        t0s = np.stack([t_pred, tl]).astype(np.float32)
+        res = pose_opt.pose_optimize_multi_jit(
+            self.cfg.camera, jnp.asarray(R0s), jnp.asarray(t0s),
             jnp.asarray(last_xw), jnp.asarray(uv), jnp.asarray(ur),
             jnp.asarray(inv_s2), jnp.asarray(ok_np))
         inl = np.asarray(res.inliers)
@@ -296,7 +299,6 @@ class Tracker:
             # keep the most-observed points
             order = np.argsort(-self.map.mp_obs_count[mids], kind="stable")
             mids = mids[order[:LOCAL_POINT_CAP]]
-        self.map.mp_visible[mids] += 1  # counted visible when in local map
 
         pad = LOCAL_POINT_CAP - len(mids)
         mids_p = np.concatenate([mids, np.zeros(pad, dtype=mids.dtype)])
@@ -319,6 +321,10 @@ class Tracker:
 
         ok_np = np.asarray(m.ok)
         kp_of = np.asarray(m.kp_idx)
+        # visible counter: only frustum-passing points (reference increments
+        # mnVisible inside isInFrustum, src/Tracking.cc:1486-1490)
+        vis = np.asarray(m.visible)[: len(mids)]
+        self.map.mp_visible[mids[vis]] += 1
         # merge new matches into cur_obs
         new_rows = np.nonzero(ok_np)[0]
         cur_obs2 = cur_obs.copy()
@@ -337,8 +343,20 @@ class Tracker:
         ur[rows] = np.asarray(f.ur)[rows]
         iv[rows] = np.asarray(f.inv_sigma2)[rows]
         valid[rows] = True
-        res = pose_opt.pose_optimize_jit(
-            self.cfg.camera, f.R, f.t, jnp.asarray(Xp), jnp.asarray(uv),
+        # multi-start: current estimate + last frame's optimized pose
+        inits_R = [np.asarray(f.R)]
+        inits_t = [np.asarray(f.t)]
+        if self.last_frame is not None:
+            inits_R.append(np.asarray(self.last_frame.R))
+            inits_t.append(np.asarray(self.last_frame.t))
+        else:
+            inits_R.append(np.asarray(f.R))
+            inits_t.append(np.asarray(f.t))
+        res = pose_opt.pose_optimize_multi_jit(
+            self.cfg.camera,
+            jnp.asarray(np.stack(inits_R).astype(np.float32)),
+            jnp.asarray(np.stack(inits_t).astype(np.float32)),
+            jnp.asarray(Xp), jnp.asarray(uv),
             jnp.asarray(ur), jnp.asarray(iv), jnp.asarray(valid))
         inl = np.asarray(res.inliers)
         f = frame_mod.set_pose(f, np.asarray(res.R), np.asarray(res.t))
@@ -452,7 +470,9 @@ class Tracker:
         untracked_close = int((close & ~tracked).sum())
         need_close = tracked_close < 100 and untracked_close > 70
 
-        th_ref_ratio = 0.75 if n_kfs > 2 else 0.4
+        # reference: thRefRatio = 0.75, 0.4 only while the map has a single
+        # KF (src/Tracking.cc:1317-1324)
+        th_ref_ratio = 0.4 if n_kfs < 2 else 0.75
         frames_since_kf = self.frame_id - self.last_frame_id_of_kf
         c1a = frames_since_kf >= self.max_frames_between_kf
         c1b = frames_since_kf >= self.cfg.tracking.min_frames_between_kf
