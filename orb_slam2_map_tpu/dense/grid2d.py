@@ -47,11 +47,17 @@ class OccupancyGrid2D:
     def insert_rays(self, origin_xz: np.ndarray, points_xz: np.ndarray):
         """Count Bresenham-visited cells from origin to each point;
         endpoint cells count as occupied (reference:
-        ros_mono_sub.cc processMapPt/processMapPts)."""
+        ros_mono_sub.cc processMapPt/processMapPts). Uses the native C++
+        runtime when built (orb_slam2_map_tpu.native)."""
+        from .. import native
+
         ox, oz = self._to_cell(np.asarray([origin_xz[0]]),
                                np.asarray([origin_xz[1]]))
         ox, oz = int(ox[0]), int(oz[0])
         px, pz = self._to_cell(points_xz[:, 0], points_xz[:, 1])
+        if native.bresenham_rays(self.visited, self.occupied, ox, oz,
+                                 px, pz):
+            return
         for x1, z1 in zip(px, pz):
             self._bresenham(ox, oz, int(x1), int(z1))
 

@@ -191,10 +191,21 @@ def _gn_step(cam, p: GBAProblem, lam, use_huber: bool, cg_iters: int,
     return R_new, t_new, X_new
 
 
-def _total_chi2(cam, p: GBAProblem, psum_axis=None):
+def _total_chi2(cam, p: GBAProblem, psum_axis=None, robust=False):
+    """Acceptance objective for LM. Every valid observation contributes —
+    masking by camera-frame depth here would let a divergent step hide
+    its own residuals (NaN/behind-camera -> w=0 -> chi2 "improves"), so
+    non-finite terms are replaced by a large finite penalty instead.
+    With robust=True the Huber rho is summed (what _gn_step minimizes)."""
     e, _, _, w, chi2 = _obs_terms(cam, p, use_huber=False)
-    active = w > 0
-    total = jnp.sum(jnp.where(active, chi2, 0.0))
+    if robust:
+        is_stereo = p.ur >= 0
+        d2 = jnp.where(is_stereo, res_mod.CHI2_STEREO, res_mod.CHI2_MONO)
+        delta = jnp.sqrt(d2)
+        r = jnp.sqrt(jnp.maximum(chi2, 1e-12))
+        chi2 = jnp.where(chi2 <= d2, chi2, 2.0 * delta * r - d2)
+    chi2_safe = jnp.where(jnp.isfinite(chi2), chi2, 1e12)
+    total = jnp.sum(jnp.where(p.obs_valid, chi2_safe, 0.0))
     if psum_axis is not None:
         total = jax.lax.psum(total, psum_axis)
     return total, chi2
@@ -216,10 +227,18 @@ def global_ba_inner(cam, prob, iters, cg_iters, use_huber,
         p, lam = carry
         R_new, t_new, X_new = _gn_step(cam, p, lam, use_huber, cg_iters,
                                        psum_axis)
-        old, _ = _total_chi2(cam, p, psum_axis)
+        old, _ = _total_chi2(cam, p, psum_axis, robust=use_huber)
         cand = p._replace(R=R_new, t=t_new, X=X_new)
-        new, _ = _total_chi2(cam, cand, psum_axis)
-        ok = (new < old) & jnp.isfinite(new)
+        new, _ = _total_chi2(cam, cand, psum_axis, robust=use_huber)
+        # finiteness must be agreed across shards: X is owner-sharded, so
+        # a NaN on one device must reject the (replicated) camera update
+        # everywhere or replicas diverge
+        nbad = (jnp.sum(~jnp.isfinite(X_new)) +
+                jnp.sum(~jnp.isfinite(t_new)) +
+                jnp.sum(~jnp.isfinite(R_new)))
+        if psum_axis is not None:
+            nbad = jax.lax.psum(nbad, psum_axis)
+        ok = (new < old) & jnp.isfinite(new) & (nbad == 0)
         p = p._replace(
             R=jnp.where(ok, R_new, p.R),
             t=jnp.where(ok, t_new, p.t),

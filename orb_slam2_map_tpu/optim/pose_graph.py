@@ -63,6 +63,19 @@ def optimize_pose_graph(poses, edges_ij, edges_meas, edge_valid,
         (pass poses already seeded, as the reference does via
         CorrectedSim3, :838-852).
     """
+    return pose_graph_inner(poses, edges_ij, edges_meas, edge_valid,
+                            vertex_valid, fixed, fix_scale, iters, None)
+
+
+def pose_graph_inner(poses, edges_ij, edges_meas, edge_valid,
+                     vertex_valid, fixed, fix_scale: bool, iters: int,
+                     psum_axis) -> PoseGraphResult:
+    """Traceable body shared by the single-chip jit and the shard_map
+    trajectory-sharded path (parallel/dist_pose_graph.py): with
+    psum_axis set, edge arrays are per-device shards (trajectory
+    segments) and the assembled H/g — plus the acceptance objective —
+    are all-reduced over the mesh, so every device solves the identical
+    replicated system."""
     R, t, s = poses
     Rm, tm, sm = edges_meas
     V = R.shape[0]
@@ -109,6 +122,9 @@ def optimize_pose_graph(poses, edges_ij, edges_meas, edge_valid,
         H = H.at[i, j].add(Hij)
         H = H.at[j, i].add(jnp.swapaxes(Hij, -1, -2))
         g = jnp.zeros((V, 7)).at[i].add(gi).at[j].add(gj)
+        if psum_axis is not None:
+            H = jax.lax.psum(H, psum_axis)
+            g = jax.lax.psum(g, psum_axis)
 
         free = vertex_valid & ~fixed
         diag_scale = 1.0 + lam
@@ -140,7 +156,10 @@ def optimize_pose_graph(poses, edges_ij, edges_meas, edge_valid,
         # accept if total error decreased
         def total(R_, t_, s_):
             r_, _, _ = residual_and_jac(R_, t_, s_)
-            return jnp.sum(jnp.sum(r_ * r_, -1) * w)
+            out = jnp.sum(jnp.sum(r_ * r_, -1) * w)
+            if psum_axis is not None:
+                out = jax.lax.psum(out, psum_axis)
+            return out
 
         better = total(Rn, tn, sn) < total(R, t, s)
         R = jnp.where(better, Rn, R)

@@ -101,21 +101,20 @@ def distributed_global_ba(cam: PinholeCamera, prob: gba.GBAProblem,
     """
     n = mesh.shape[axis]
 
-    @functools.partial(
-        jax.shard_map, mesh=mesh,
-        in_specs=gba.GBAProblem(
-            R=P(), t=P(), X=P(axis), cam_free=P(),
-            cam_idx=P(axis), pnt_idx=P(axis), uv=P(axis), ur=P(axis),
-            inv_sigma2=P(axis), obs_valid=P(axis)),
-        out_specs=gba.GBAResult(R=P(), t=P(), X=P(axis),
-                                inliers=P(axis), chi2=P()),
-        check_vma=False,
-    )
-    def run(p: gba.GBAProblem):
-        res = gba.global_ba_inner(cam, p, iters, cg_iters, True, axis)
-        return res
+    # fields passed positionally: flat specs sidestep NamedTuple-vs-tuple
+    # pytree-structure mismatches in shard_map spec matching
+    in_specs = (P(), P(), P(axis), P(),
+                P(axis), P(axis), P(axis), P(axis), P(axis), P(axis))
+    out_specs = (P(), P(), P(axis), P(axis), P())
 
-    return run(prob)
+    @functools.partial(jax.shard_map, mesh=mesh, in_specs=in_specs,
+                       out_specs=out_specs, check_vma=False)
+    def run(*fields):
+        p = gba.GBAProblem(*fields)
+        res = gba.global_ba_inner(cam, p, iters, cg_iters, True, axis)
+        return tuple(res)
+
+    return gba.GBAResult(*run(*prob))
 
 
 def run_distributed_global_ba(cfg, map_store, mesh: Mesh,

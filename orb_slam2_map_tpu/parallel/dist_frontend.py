@@ -33,11 +33,10 @@ def extract_batch_sharded(images, cfg: ORBConfig, mesh: Mesh,
     images = jax.device_put(images, NamedSharding(mesh, P(axis)))
 
     @functools.partial(jax.shard_map, mesh=mesh,
-                       in_specs=P(axis), out_specs=orb.Keypoints(
-                           xy=P(axis), response=P(axis), angle=P(axis),
-                           level=P(axis), desc=P(axis), valid=P(axis)),
+                       in_specs=P(axis),
+                       out_specs=(P(axis),) * 6,
                        check_vma=False)
     def run(imgs):
-        return jax.vmap(lambda im: orb.extract(im, cfg))(imgs)
+        return tuple(jax.vmap(lambda im: orb.extract(im, cfg))(imgs))
 
-    return run(images)
+    return orb.Keypoints(*run(images))

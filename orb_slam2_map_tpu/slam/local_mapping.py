@@ -22,6 +22,7 @@ from ..config import SystemConfig
 from ..geom import se3 as se3_np  # jnp-based but works on np inputs
 from ..ops import matching
 from ..optim import local_ba, triangulate
+from ..utils import profiling
 from .mapstore import MapStore
 
 # fixed device capacities for the local-BA problem
@@ -48,16 +49,21 @@ class LocalMapper:
         fuse duplicates -> local BA -> KF culling -> feed loop closer."""
         if not self.enabled:
             return
-        self._process_new_keyframe(kid)
-        self._cull_map_points(kid)
-        if self.map.n_keyframes() > 1:
-            self._create_new_map_points(kid)
-            self._fuse_neighbors(kid)
-        if self.map.n_keyframes() > 2:
-            self._local_bundle_adjustment(kid)
-        self._cull_keyframes(kid)
+        with profiling.stage("local_mapping"):
+            self._process_new_keyframe(kid)
+            self._cull_map_points(kid)
+            if self.map.n_keyframes() > 1:
+                with profiling.stage("local_mapping/triangulate"):
+                    self._create_new_map_points(kid)
+                with profiling.stage("local_mapping/fuse"):
+                    self._fuse_neighbors(kid)
+            if self.map.n_keyframes() > 2:
+                with profiling.stage("local_mapping/local_ba"):
+                    self._local_bundle_adjustment(kid)
+            self._cull_keyframes(kid)
         if self.loop_closer is not None:
-            self.loop_closer.process_keyframe(kid)
+            with profiling.stage("loop_closing"):
+                self.loop_closer.process_keyframe(kid)
 
     # ------------------------------------------------------------------
 

@@ -23,6 +23,7 @@ import numpy as np
 
 from ..config import SystemConfig
 from ..io import trajectory as traj_io
+from ..utils import profiling
 from .local_mapping import LocalMapper
 from .mapstore import MapStore
 from .tracking import Tracker, TrackingState
@@ -112,23 +113,27 @@ class SLAMSystem:
     def track_rgbd(self, timestamp: float, gray: np.ndarray,
                    depth: np.ndarray, rgb: Optional[np.ndarray] = None):
         assert self.sensor == Sensor.RGBD
-        if self.place_db is not None:
-            self.place_db.maybe_refresh()
-        return self.tracker.track_rgbd(timestamp, gray, depth, rgb=rgb)
+        with profiling.stage("track_rgbd"):
+            if self.place_db is not None:
+                self.place_db.maybe_refresh()
+            return self.tracker.track_rgbd(timestamp, gray, depth, rgb=rgb)
 
     def track_monocular(self, timestamp: float, gray: np.ndarray):
         assert self.sensor == Sensor.MONOCULAR
         from .mono_init import track_monocular_frame
 
-        return track_monocular_frame(self, timestamp, gray)
+        with profiling.stage("track_monocular"):
+            return track_monocular_frame(self, timestamp, gray)
 
     def track_stereo(self, timestamp: float, gray_left: np.ndarray,
                      gray_right: np.ndarray):
         assert self.sensor == Sensor.STEREO
         from . import frame as frame_mod
 
-        f = frame_mod.build_stereo_frame(self.cfg, gray_left, gray_right)
-        return self.tracker.track_frame(timestamp, f)
+        with profiling.stage("track_stereo"):
+            f = frame_mod.build_stereo_frame(self.cfg, gray_left,
+                                             gray_right)
+            return self.tracker.track_frame(timestamp, f)
 
     # ------------------------------------------------------------------
     # modes / control (reference: src/System.cc:160-192, 296-347)
@@ -157,6 +162,12 @@ class SLAMSystem:
     @property
     def tracking_state(self) -> TrackingState:
         return self.tracker.state
+
+    def profile_report(self) -> str:
+        """Per-stage timing table (tracking / local mapping / loop
+        closing / dense), the observability the reference lacks
+        (SURVEY.md §5.1)."""
+        return profiling.PROFILER.report()
 
     # ------------------------------------------------------------------
     # output (reference: src/System.cc:349-515)

@@ -165,3 +165,67 @@ class TestConfig:
         counts = orb.features_per_level()
         assert len(counts) == 8
         assert abs(sum(counts) - 1000) <= 10
+
+
+class TestKitti:
+    def _make_seq(self, tmp_path, n=3, stereo=True):
+        from PIL import Image
+
+        root = tmp_path / "00"
+        (root / "image_0").mkdir(parents=True)
+        if stereo:
+            (root / "image_1").mkdir()
+        rng = np.random.default_rng(0)
+        for i in range(n):
+            for sub in (["image_0", "image_1"] if stereo else ["image_0"]):
+                img = rng.integers(0, 255, (37, 61), dtype=np.uint8)
+                Image.fromarray(img).save(root / sub / f"{i:06d}.png")
+        np.savetxt(root / "times.txt", np.arange(n) * 0.1)
+        P0 = "P0: 718.856 0 607.1928 0 0 718.856 185.2157 0 0 0 1 0"
+        P1 = ("P1: 718.856 0 607.1928 -386.1448 0 718.856 185.2157 0 "
+              "0 0 1 0")
+        (root / "calib.txt").write_text(
+            P0 + "\n" + P1 + "\n" + P0.replace("P0", "P2") + "\n"
+            + P1.replace("P1", "P3") + "\n")
+        return str(root)
+
+    def test_sequence_load(self, tmp_path):
+        from orb_slam2_map_tpu.io import kitti
+
+        root = self._make_seq(tmp_path)
+        seq = kitti.KittiSequence(root, stereo=True)
+        assert len(seq) == 3
+        t, gl, gr = seq[1]
+        assert abs(t - 0.1) < 1e-9
+        assert gl.shape == (37, 61) and gr.shape == (37, 61)
+        # calib parsed: fx and bf from P0/P1
+        assert abs(seq.camera.fx - 718.856) < 1e-3
+        assert abs(seq.camera.bf - 386.1448) < 1e-3
+
+    def test_camera_presets_match_reference_yamls(self):
+        from orb_slam2_map_tpu.io import kitti
+
+        c = kitti.kitti_camera(0)  # KITTI00-02.yaml
+        assert abs(c.fx - 718.856) < 1e-3 and abs(c.bf - 386.1448) < 1e-3
+        c3 = kitti.kitti_camera(3)  # KITTI03.yaml
+        assert abs(c3.fx - 721.5377) < 1e-3
+        c4 = kitti.kitti_camera(7)  # KITTI04-12.yaml
+        assert abs(c4.fx - 707.0912) < 1e-3
+
+    def test_poses_and_drift(self, tmp_path):
+        from orb_slam2_map_tpu.io import kitti
+
+        # straight-line gt, 1 m per frame, 150 frames
+        n = 150
+        Twc = np.tile(np.eye(4), (n, 1, 1))
+        Twc[:, 2, 3] = np.arange(n, dtype=np.float64)
+        flat = Twc[:, :3, :].reshape(n, 12)
+        np.savetxt(tmp_path / "00.txt", flat)
+        loaded = kitti.load_poses(str(tmp_path / "00.txt"))
+        np.testing.assert_allclose(loaded, Twc)
+        assert kitti.translational_drift(Twc, Twc, lengths=(100,)) == 0.0
+        # 1% scale error -> ~1% drift
+        est = Twc.copy()
+        est[:, 2, 3] *= 1.01
+        d = kitti.translational_drift(est, Twc, lengths=(100,))
+        assert 0.5 < d < 1.5
