@@ -13,3 +13,11 @@ state, host orchestrator instead of the reference's thread/mutex graph.
 """
 
 __version__ = "0.1.0"
+
+import jax as _jax
+
+# Geometry/optimization matmuls need full f32: the TPU default truncates
+# f32 matmul inputs to bf16 (8-bit mantissa), which costs ~1.5 cm ATE on
+# the synthetic benchmark. Descriptor matching is unaffected — it casts
+# to bf16 explicitly (exact for ±1 vectors with f32 accumulation).
+_jax.config.update("jax_default_matmul_precision", "highest")

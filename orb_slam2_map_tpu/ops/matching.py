@@ -38,10 +38,41 @@ def unpack_pm1(desc: jnp.ndarray) -> jnp.ndarray:
     return bits.reshape(desc.shape[0], 256).astype(jnp.float32) * 2.0 - 1.0
 
 
+_USE_PALLAS = None
+
+
+def _use_pallas() -> bool:
+    """Route gated_nn through the Pallas XOR+popcount kernel
+    (ORB_TPU_PALLAS=1, TPU only).
+
+    Off by default after measurement on v5e: standalone, the Pallas
+    matcher beats the MXU unpack-matmul (1.0 vs 1.5 ms at 1221^2), but
+    inside the fused tracking programs XLA's ability to fuse the gate
+    production and NN selection around the matmul wins (motion step
+    4.1 ms XLA vs 4.4 ms Pallas). Kept as the fallback for shapes/gens
+    where the MXU path regresses, and as the batch matcher for offline
+    workloads (vocabulary scoring, multi-session map merge)."""
+    global _USE_PALLAS
+    if _USE_PALLAS is None:
+        import os
+
+        try:
+            plat = jax.devices()[0].platform
+        except Exception:
+            plat = "cpu"
+        _USE_PALLAS = (plat == "tpu"
+                       and os.environ.get("ORB_TPU_PALLAS") == "1")
+    return _USE_PALLAS
+
+
 def hamming_matrix(desc_a: jnp.ndarray, desc_b: jnp.ndarray) -> jnp.ndarray:
     """All-pairs Hamming distance [N, M] float32 from packed uint32[*, 8].
 
     dist = (256 - a.b) / 2 with a, b in {-1,+1}^256 — one MXU matmul.
+    (The standalone Pallas variant, ops/pallas_kernels.hamming_matrix_
+    pallas, measures faster in isolation but breaks XLA's fusion with
+    the surrounding gate/NN ops; the fully-fused matcher `gated_nn` is
+    the Pallas entry point instead.)
     """
     a = unpack_pm1(desc_a).astype(jnp.bfloat16)
     b = unpack_pm1(desc_b).astype(jnp.bfloat16)
@@ -67,6 +98,26 @@ class MatchResult(NamedTuple):
     idx: jnp.ndarray    # [N] int32 best column per row (-1 semantics via ok)
     dist: jnp.ndarray   # [N] float32 best distance
     ok: jnp.ndarray     # [N] bool
+
+
+def gated_nn(desc_a: jnp.ndarray, desc_b: jnp.ndarray,
+             gate: jnp.ndarray, max_dist: float = 256.0,
+             ratio: Optional[float] = None) -> MatchResult:
+    """Fused distance + gated nearest neighbor: the common core of every
+    Search* variant. On TPU this is ONE Pallas kernel (XOR+popcount +
+    masked argmin + second-best in VMEM, ops/pallas_kernels.py); the
+    portable path composes hamming_matrix + masked_nn."""
+    if _use_pallas():
+        from . import pallas_kernels
+
+        idx, best, second = pallas_kernels.gated_nn_pallas(desc_a, desc_b,
+                                                           gate)
+        ok = best <= max_dist
+        if ratio is not None:
+            ok &= best < ratio * second
+        return MatchResult(idx=idx, dist=best, ok=ok)
+    dmat = hamming_matrix(desc_a, desc_b)
+    return masked_nn(dmat, gate, max_dist=max_dist, ratio=ratio)
 
 
 def masked_nn(dist: jnp.ndarray, gate: Optional[jnp.ndarray] = None,

@@ -32,11 +32,38 @@ def triangulate_dlt(P1, P2, x1, x2):
                 u2[1] * P2[2] - P2[1],
             ]
         )
-        _, _, vt = jnp.linalg.svd(A, full_matrices=True)
-        X = vt[-1]
-        return X[:3] / jnp.where(jnp.abs(X[3]) < 1e-12, 1e-12, X[3])
+        # Inhomogeneous solve: A[:, :3] X = -A[:, 3] via 3x3 normal
+        # equations. The reference uses a homogeneous 4x4 SVD
+        # (src/LocalMapping.cc:322-331); for finite points the two agree
+        # to first order, and batched small SVD is pathologically slow on
+        # TPU (QR-iteration loops) while a 3x3 solve is pure VPU math.
+        M = A[:, :3]
+        b = -A[:, 3]
+        AtA = M.T @ M + 1e-9 * jnp.eye(3, dtype=M.dtype)
+        Atb = M.T @ b
+        return _solve3x3(AtA, Atb)
 
     return jax.vmap(one)(x1, x2)
+
+
+def _solve3x3(S, b):
+    """Closed-form symmetric 3x3 solve via the adjugate (pure VPU math —
+    no LU/SVD loops, so the batched vmap stays elementwise on TPU)."""
+    c00 = S[1, 1] * S[2, 2] - S[1, 2] * S[2, 1]
+    c01 = S[0, 2] * S[2, 1] - S[0, 1] * S[2, 2]
+    c02 = S[0, 1] * S[1, 2] - S[0, 2] * S[1, 1]
+    c10 = S[1, 2] * S[2, 0] - S[1, 0] * S[2, 2]
+    c11 = S[0, 0] * S[2, 2] - S[0, 2] * S[2, 0]
+    c12 = S[0, 2] * S[1, 0] - S[0, 0] * S[1, 2]
+    c20 = S[1, 0] * S[2, 1] - S[1, 1] * S[2, 0]
+    c21 = S[0, 1] * S[2, 0] - S[0, 0] * S[2, 1]
+    c22 = S[0, 0] * S[1, 1] - S[0, 1] * S[1, 0]
+    det = S[0, 0] * c00 + S[0, 1] * c10 + S[0, 2] * c20
+    inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-18, 1e-18, det)
+    adj = jnp.stack([jnp.stack([c00, c01, c02]),
+                     jnp.stack([c10, c11, c12]),
+                     jnp.stack([c20, c21, c22])])
+    return (adj @ b) * inv_det
 
 
 def projection_matrix(cam: PinholeCamera, R, t):

@@ -23,6 +23,7 @@ from ..geom import se3 as se3_np  # jnp-based but works on np inputs
 from ..ops import matching
 from ..optim import local_ba, triangulate
 from ..utils import profiling
+from . import mapping_kernels
 from .mapstore import MapStore
 
 # fixed device capacities for the local-BA problem
@@ -126,68 +127,55 @@ class LocalMapper:
         free1 = (obs1 < 0) & self.map.kf_kp_valid[kid]
         sigma2 = np.asarray(self.cfg.orb.level_sigma2, dtype=np.float32)
 
+        # build the neighbor batch (baseline-gated), padded to a fixed
+        # width so the vmapped program compiles once
+        B = n_neighbors
+        nbs = []
         for nb in neighbors:
-            R2 = self.map.kf_R[nb]
-            t2 = self.map.kf_t[nb]
-            c2 = -R2.T @ t2
-            baseline = np.linalg.norm(c2 - c1)
-            if baseline < cam.baseline:  # stereo/RGB-D gate (ref :252-261)
+            c2 = -self.map.kf_R[nb].T @ self.map.kf_t[nb]
+            if np.linalg.norm(c2 - c1) < cam.baseline:  # ref :252-261
                 continue
-            obs2 = self.map.kf_obs[nb]
-            free2 = (obs2 < 0) & self.map.kf_kp_valid[nb]
-            if free1.sum() == 0 or free2.sum() == 0:
-                continue
+            if ((self.map.kf_obs[nb] < 0)
+                    & self.map.kf_kp_valid[nb]).sum() > 0:
+                nbs.append(int(nb))
+        if free1.sum() == 0 or len(nbs) == 0:
+            self.map.update_connections(kid)
+            return
+        nbs = nbs[:B]
+        pad_ids = nbs + [nbs[-1]] * (B - len(nbs))
+        pad_arr = np.asarray(pad_ids)
+        free2s = ((self.map.kf_obs[pad_arr] < 0)
+                  & self.map.kf_kp_valid[pad_arr])
+        free2s[len(nbs):] = False  # padded entries produce no matches
 
-            # fundamental matrix F12 (reference: :536-553 ComputeF12)
-            R12 = R1 @ R2.T
-            t12 = -R1 @ R2.T @ t2 + t1
-            t12x = np.array([[0, -t12[2], t12[1]], [t12[2], 0, -t12[0]],
-                             [-t12[1], t12[0], 0]], dtype=np.float32)
-            K = np.asarray(cam.K)
-            F12 = np.linalg.inv(K).T @ t12x @ R12 @ np.linalg.inv(K)
+        # all pairs in ONE dispatch + ONE download
+        res = mapping_kernels.triangulate_pairs_batch(
+            self.cfg,
+            jnp.asarray(R1), jnp.asarray(t1),
+            jnp.asarray(self.map.kf_xy[kid]),
+            jnp.asarray(self.map.kf_level[kid]),
+            jnp.asarray(self.map.kf_desc[kid]),
+            jnp.asarray(free1),
+            jnp.asarray(self.map.kf_ur[kid]),
+            jnp.asarray(self.map.kf_R[pad_arr]),
+            jnp.asarray(self.map.kf_t[pad_arr]),
+            jnp.asarray(self.map.kf_xy[pad_arr]),
+            jnp.asarray(self.map.kf_level[pad_arr]),
+            jnp.asarray(self.map.kf_desc[pad_arr]),
+            jnp.asarray(free2s),
+            jnp.asarray(self.map.kf_ur[pad_arr]))
+        ok_b = np.asarray(res.ok)
+        col_b = np.asarray(res.kp2_idx)
+        X_b = np.asarray(res.X)
 
-            gate = matching.epipolar_gate(
-                jnp.asarray(self.map.kf_xy[kid]),
-                jnp.asarray(self.map.kf_xy[nb]),
-                jnp.asarray(F12.T),
-                jnp.asarray(sigma2[self.map.kf_level[nb]]))
-            gate = np.asarray(gate) & free1[:, None] & free2[None, :]
-            dmat = np.asarray(matching.hamming_matrix(
-                jnp.asarray(self.map.kf_desc[kid]),
-                jnp.asarray(self.map.kf_desc[nb])))
-            res = matching.masked_nn(jnp.asarray(dmat), jnp.asarray(gate),
-                                     max_dist=50.0)
-            ok = np.asarray(
-                matching.resolve_duplicates(res.idx, res.dist, res.ok,
-                                            self.map.N))
+        new_all = []
+        for j, nb in enumerate(nbs):
+            ok = ok_b[j] & free1   # drop keypoints consumed by earlier pairs
             rows = np.nonzero(ok)[0]
             if len(rows) == 0:
                 continue
-            cols = np.asarray(res.idx)[rows]
-
-            # triangulate
-            P1 = np.asarray(triangulate.projection_matrix(
-                cam, jnp.asarray(R1), jnp.asarray(t1)))
-            P2 = np.asarray(triangulate.projection_matrix(
-                cam, jnp.asarray(R2), jnp.asarray(t2)))
-            X = np.asarray(triangulate.triangulate_dlt(
-                jnp.asarray(P1), jnp.asarray(P2),
-                jnp.asarray(self.map.kf_xy[kid][rows]),
-                jnp.asarray(self.map.kf_xy[nb][cols])))
-
-            good = np.asarray(triangulate.acceptance_gates(
-                cam, jnp.asarray(R1), jnp.asarray(t1), jnp.asarray(R2),
-                jnp.asarray(t2), jnp.asarray(X),
-                jnp.asarray(self.map.kf_xy[kid][rows]),
-                jnp.asarray(self.map.kf_xy[nb][cols]),
-                jnp.asarray(self.map.kf_ur[kid][rows]),
-                jnp.asarray(self.map.kf_ur[nb][cols]),
-                jnp.asarray(sigma2[self.map.kf_level[kid][rows]]),
-                jnp.asarray(sigma2[self.map.kf_level[nb][cols]]),
-                chi2_mono=lcfg.chi2_mono, chi2_stereo=lcfg.chi2_stereo))
-            rows, cols, X = rows[good], cols[good], X[good]
-            if len(rows) == 0:
-                continue
+            cols = col_b[j][rows]
+            X = X_b[j][rows]
             mids = self.map.alloc_points(len(rows))
             self.map.mp_pos[mids] = X
             self.map.mp_desc[mids] = self.map.kf_desc[kid][rows]
@@ -196,6 +184,9 @@ class LocalMapper:
             self.map.set_observations_bulk(kid, rows, mids)
             self.map.set_observations_bulk(nb, cols, mids)
             free1[rows] = False
+            new_all.append(mids)
+        if new_all:
+            mids = np.concatenate(new_all)
             self.map.update_point_stats(
                 mids, np.asarray(self.cfg.orb.scale_factors, np.float32))
             if len(self.recent_points):
@@ -224,8 +215,7 @@ class LocalMapper:
         own = own[self.map.mp_exists[own]]
         if len(own) == 0:
             return
-        for nb in targets:
-            self._fuse_into(int(nb), own)
+        self._fuse_into_many(targets, own)
         # reverse direction: neighbors' points into this KF
         nb_points = []
         for nb in targets:
@@ -240,56 +230,90 @@ class LocalMapper:
             own, np.asarray(self.cfg.orb.scale_factors, np.float32))
         self.map.update_connections(kid)
 
+    FUSE_TARGET_CAP = 24  # fixed vmap width for the forward fuse batch
+
+    def _fuse_into_many(self, targets: List[int], mids: np.ndarray):
+        """Project one candidate set into MANY keyframes with one
+        dispatch + one download (forward SearchInNeighbors direction)."""
+        if len(mids) == 0 or len(targets) == 0:
+            return
+        T = self.FUSE_TARGET_CAP
+        targets = list(targets)[:T]
+        pad_ids = targets + [targets[-1]] * (T - len(targets))
+        pad_arr = np.asarray(pad_ids)
+        kf_valids = self.map.kf_kp_valid[pad_arr].copy()
+        kf_valids[len(targets):] = False    # padded targets: no matches
+
+        C = mapping_kernels.bucket_size(len(mids))
+        pad = C - len(mids)
+        mids_p = np.concatenate([mids, np.zeros(pad, dtype=mids.dtype)])
+        valid = np.concatenate([np.ones(len(mids), bool),
+                                np.zeros(pad, bool)])
+        res = mapping_kernels.fuse_match_batch(
+            self.cfg,
+            jnp.asarray(self.map.kf_R[pad_arr]),
+            jnp.asarray(self.map.kf_t[pad_arr]),
+            jnp.asarray(self.map.mp_pos[mids_p]),
+            jnp.asarray(self.map.mp_desc[mids_p]),
+            jnp.asarray(self.map.mp_min_dist[mids_p]),
+            jnp.asarray(self.map.mp_max_dist[mids_p]),
+            jnp.asarray(valid),
+            jnp.asarray(self.map.kf_xy[pad_arr]),
+            jnp.asarray(self.map.kf_level[pad_arr]),
+            jnp.asarray(kf_valids),
+            jnp.asarray(self.map.kf_desc[pad_arr]))
+        keep_b = np.asarray(res.ok)
+        kp_b = np.asarray(res.kp_idx)
+        for j, nb in enumerate(targets):
+            keep = keep_b[j] & valid
+            rows = np.nonzero(keep)[0]
+            self._apply_fuse(int(nb), mids_p, rows, kp_b[j][rows])
+
     def _fuse_into(self, kid: int, mids: np.ndarray):
         """Project `mids` into KF `kid`; bind unbound keypoint hits, merge
         conflicting ones (reference Fuse, src/ORBmatcher.cc:825-975)."""
         if len(mids) == 0:
             return
-        cam = self.cfg.camera
-        R = self.map.kf_R[kid]
-        t = self.map.kf_t[kid]
-        Xc = self.map.mp_pos[mids] @ R.T + t
-        z = Xc[:, 2]
-        u = cam.fx * Xc[:, 0] / np.maximum(z, 1e-9) + cam.cx
-        v = cam.fy * Xc[:, 1] / np.maximum(z, 1e-9) + cam.cy
-        visible = (z > 0.05) & (u >= 0) & (u < cam.width) & (v >= 0) & (v < cam.height)
-        # distance band + predicted level
-        Twc = self.map.kf_Twc(kid)
-        rays = self.map.mp_pos[mids] - Twc[:3, 3]
-        dist = np.linalg.norm(rays, axis=1)
-        visible &= (dist >= 0.8 * self.map.mp_min_dist[mids]) & (
-            dist <= 1.2 * self.map.mp_max_dist[mids])
-        if not visible.any():
-            return
-        sf = self.cfg.orb.scale_factor
-        ratio = np.maximum(self.map.mp_max_dist[mids], 1e-9) / np.maximum(dist, 1e-9)
-        pred = np.clip(np.ceil(np.log(ratio) / np.log(sf)).astype(np.int32),
-                       0, self.cfg.orb.n_levels - 1)
-        radius = 3.0 * np.asarray(self.cfg.orb.scale_factors)[pred]
-
-        uvq = np.stack([u, v], axis=1).astype(np.float32)
-        gate = (np.asarray(matching.window_gate(
-                    jnp.asarray(uvq), jnp.asarray(self.map.kf_xy[kid]),
-                    jnp.asarray(radius.astype(np.float32))))
-                & np.asarray(matching.level_gate(
-                    jnp.asarray(pred), jnp.asarray(self.map.kf_level[kid]),
-                    min_delta=-1, max_delta=0))
-                & visible[:, None] & self.map.kf_kp_valid[kid][None, :])
-        dmat = matching.hamming_matrix(jnp.asarray(self.map.mp_desc[mids]),
-                                       jnp.asarray(self.map.kf_desc[kid]))
-        res = matching.masked_nn(dmat, jnp.asarray(gate), max_dist=50.0)
-        keep = np.asarray(matching.resolve_duplicates(
-            res.idx, res.dist, res.ok, self.map.N))
+        # pad candidates to a power-of-two bucket: jit compiles per
+        # bucket size instead of per call
+        C = mapping_kernels.bucket_size(len(mids))
+        pad = C - len(mids)
+        mids_p = np.concatenate([mids, np.zeros(pad, dtype=mids.dtype)])
+        valid = np.concatenate([np.ones(len(mids), bool),
+                                np.zeros(pad, bool)])
+        res = mapping_kernels.fuse_match(
+            self.cfg,
+            jnp.asarray(self.map.kf_R[kid]), jnp.asarray(self.map.kf_t[kid]),
+            jnp.asarray(self.map.mp_pos[mids_p]),
+            jnp.asarray(self.map.mp_desc[mids_p]),
+            jnp.asarray(self.map.mp_min_dist[mids_p]),
+            jnp.asarray(self.map.mp_max_dist[mids_p]),
+            jnp.asarray(valid),
+            jnp.asarray(self.map.kf_xy[kid]),
+            jnp.asarray(self.map.kf_level[kid]),
+            jnp.asarray(self.map.kf_kp_valid[kid]),
+            jnp.asarray(self.map.kf_desc[kid]))
+        keep = np.asarray(res.ok) & valid
         rows = np.nonzero(keep)[0]
-        kp = np.asarray(res.idx)[rows]
+        kp = np.asarray(res.kp_idx)[rows]
+        self._apply_fuse(kid, mids_p, rows, kp)
+
+    def _apply_fuse(self, kid: int, mids: np.ndarray, rows: np.ndarray,
+                    kp: np.ndarray):
+        """Bind/merge accepted fuse matches into keyframe `kid`
+        (reference Fuse bookkeeping, src/ORBmatcher.cc:825-975 +
+        MapPoint::Replace, src/MapPoint.cc:177-215)."""
+        if len(rows) == 0:
+            return
         for r, k in zip(rows, kp):
             mid = int(mids[r])
+            if not self.map.mp_exists[mid]:
+                continue   # merged away by an earlier target this round
             bound = int(self.map.kf_obs[kid, k])
             if bound == mid:
                 continue
             if bound >= 0 and self.map.mp_exists[bound]:
-                # merge: keep the more-observed point (reference
-                # MapPoint::Replace, src/MapPoint.cc:177-215)
+                # merge: keep the more-observed point
                 if self.map.mp_obs_count[bound] >= self.map.mp_obs_count[mid]:
                     self._replace_point(mid, bound)
                 else:

@@ -77,6 +77,8 @@ class MapStore:
         self._next_kf = 0
         self._next_mp = 0
         self.version = 0  # bumped on any structural change
+        self._dev = None            # device-resident point-column cache
+        self._dev_version = -1
 
     # ------------------------------------------------------------------
     # allocation
@@ -300,36 +302,106 @@ class MapStore:
     def update_point_stats(self, mids: np.ndarray, scale_factors: np.ndarray):
         """Recompute normal, depth band, and distinctive descriptor for the
         given points (reference: src/MapPoint.cc:242-307 ComputeDistinctive
-        Descriptors + :330-383 UpdateNormalAndDepth), vectorized over the
-        observation lists."""
-        from ..ops.matching import popcount32  # numpy-compatible bit math
+        Descriptors + :330-383 UpdateNormalAndDepth).
 
-        for mid in np.atleast_1d(mids):
-            if not self.mp_exists[mid]:
-                continue
-            kfs, idxs = self.point_observers(mid)
-            if len(kfs) == 0:
-                continue
-            pos = self.mp_pos[mid]
-            centers = np.stack([self.kf_Twc(k)[:3, 3] for k in kfs])
-            rays = pos[None, :] - centers
-            norms = np.linalg.norm(rays, axis=1) + 1e-12
-            self.mp_normal[mid] = (rays / norms[:, None]).mean(axis=0)
-            # reference uses the *reference KF* distance with level scaling
-            ref_i = 0
-            level = self.kf_level[kfs[ref_i], idxs[ref_i]]
-            dist = norms[ref_i]
-            sf = scale_factors[level]
-            n_levels = len(scale_factors)
-            self.mp_max_dist[mid] = dist * sf
-            self.mp_min_dist[mid] = self.mp_max_dist[mid] / scale_factors[n_levels - 1]
-            # distinctive descriptor: min median Hamming
-            descs = self.kf_desc[kfs, idxs]                  # [O, 8]
-            x = descs[:, None, :] ^ descs[None, :, :]
-            d = _popcount_np(x).sum(axis=-1)                 # [O, O]
-            med = np.median(d, axis=1)
-            best = int(np.argmin(med))
-            self.mp_desc[mid] = descs[best]
+        Vectorized over ALL points at once: CSR observation lists come
+        from the native C++ runtime (numpy fallback), normals accumulate
+        with one scatter-add, and min-median-Hamming descriptor selection
+        runs in the native batch kernel."""
+        from .. import native
+
+        mids = np.atleast_1d(np.asarray(mids))
+        mids = mids[self.mp_exists[mids]]
+        if len(mids) == 0:
+            return
+        P = len(mids)
+        slot_of_mp = np.full(self.M, -1, dtype=np.int64)
+        slot_of_mp[mids] = np.arange(P)
+        csr = native.build_observers(self.kf_obs, self.kf_exists,
+                                     slot_of_mp, P)
+        if csr is None:
+            csr = self._build_observers_np(slot_of_mp, P)
+        counts, obs_kf, obs_kp = csr
+        offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+        if offsets[-1] == 0:
+            return
+        slot_ids = np.repeat(np.arange(P), counts)
+
+        # camera centers of the observers (c = -R^T t)
+        centers = np.einsum("kji,kj->ki", self.kf_R[obs_kf],
+                            -self.kf_t[obs_kf])
+        pos_o = self.mp_pos[mids][slot_ids]
+        rays = pos_o - centers
+        norms = np.linalg.norm(rays, axis=1) + 1e-12
+        unit = rays / norms[:, None]
+        nsum = np.zeros((P, 3), dtype=np.float64)
+        np.add.at(nsum, slot_ids, unit)
+        has = counts > 0
+        self.mp_normal[mids[has]] = (
+            nsum[has] / counts[has, None]).astype(np.float32)
+
+        # depth band from the first (reference) observer
+        first = offsets[:-1][has]
+        ref_kf, ref_kp = obs_kf[first], obs_kp[first]
+        level = self.kf_level[ref_kf, ref_kp]
+        dist = norms[first]
+        n_levels = len(scale_factors)
+        maxd = (dist * scale_factors[level]).astype(np.float32)
+        self.mp_max_dist[mids[has]] = maxd
+        self.mp_min_dist[mids[has]] = maxd / scale_factors[n_levels - 1]
+
+        # distinctive descriptor: min median Hamming over observations
+        descs = self.kf_desc[obs_kf, obs_kp]                 # [O, 8]
+        chosen = native.min_median_hamming_batch(descs, offsets)
+        if chosen is None:
+            chosen = np.zeros((P, 8), dtype=np.uint32)
+            for p in np.nonzero(has)[0]:
+                d = descs[offsets[p]:offsets[p + 1]]
+                x = d[:, None, :] ^ d[None, :, :]
+                dd = _popcount_np(x).sum(axis=-1)
+                chosen[p] = d[int(np.argmin(np.median(dd, axis=1)))]
+        self.mp_desc[mids[has]] = chosen[has]
+        self.version += 1
+
+    def _build_observers_np(self, slot_of_mp: np.ndarray, P: int):
+        """Pure-numpy CSR observer lists (native fallback), slot-ordered."""
+        kfs = np.nonzero(self.kf_exists)[0]
+        obs = self.kf_obs[kfs]                                # [K', N]
+        kp_grid = np.broadcast_to(np.arange(obs.shape[1]), obs.shape)
+        kf_grid = np.broadcast_to(kfs[:, None], obs.shape)
+        sel = obs >= 0
+        slots = slot_of_mp[obs[sel]]
+        keep = slots >= 0
+        slots = slots[keep]
+        o_kf = kf_grid[sel][keep].astype(np.int32)
+        o_kp = kp_grid[sel][keep].astype(np.int32)
+        order = np.argsort(slots, kind="stable")
+        slots, o_kf, o_kp = slots[order], o_kf[order], o_kp[order]
+        counts = np.bincount(slots, minlength=P).astype(np.int32)
+        return counts, o_kf, o_kp
+
+    # ------------------------------------------------------------------
+    # device-resident point columns (refreshed per map version)
+    # ------------------------------------------------------------------
+
+    def device_point_arrays(self):
+        """jnp copies of the map-point columns the per-frame tracking
+        programs gather from. Uploaded only when the map version changes
+        (after keyframe insertion / mapping / loop correction), so
+        steady-state tracking sends keypoint-sized index arrays to the
+        device instead of megabytes of map state per frame."""
+        if self._dev_version != self.version or self._dev is None:
+            import jax.numpy as jnp
+
+            self._dev = {
+                "mp_pos": jnp.asarray(self.mp_pos),
+                "mp_desc": jnp.asarray(self.mp_desc),
+                "mp_normal": jnp.asarray(self.mp_normal),
+                "mp_min_dist": jnp.asarray(self.mp_min_dist),
+                "mp_max_dist": jnp.asarray(self.mp_max_dist),
+            }
+            self._dev_version = self.version
+        return self._dev
 
 
 def _popcount_np(x: np.ndarray) -> np.ndarray:

@@ -1,16 +1,29 @@
-"""Fused per-frame tracking step: one jittable device program.
+"""Fused per-frame tracking programs: the flagship device hot path.
 
-This is the "flagship forward step" of the engine: grayscale + depth in,
-optimized camera pose out — ORB pyramid/FAST/descriptors, RGB-D
-pseudo-stereo, projection-gated matching against the previous frame's
-map points, and the 4x10 LM pose optimization, all fused under a single
-jit so the per-frame hot path (SURVEY.md §3.2) never leaves the device.
+The reference's per-frame hot path (SURVEY.md §3.2: ORB extraction →
+projection matching → pose optimization → local-map matching → pose
+optimization) runs here as a chain of jitted device programs with ONE
+blocking host download per frame:
+
+    _build_rgbd (frame.py)  →  motion_match_step  →  local_map_step
+                                                   →  pack_frame_result
+                                                   →  single np.asarray
+
+Every stage is dispatched asynchronously; only the packed result is
+fetched. This matters doubly on networked-TPU deployments where each
+blocking transfer pays a proxy round trip (~tens of ms) — the classic
+"minimise host-device sync points" rule, applied to SLAM.
+
+Deliberately a chain of dispatches rather than one mega-jit: fusing the
+image-plane extraction pipeline into the same XLA program as the [N,N]
+matching matmuls makes the TPU scheduler serialize badly (measured 31 ms
+fused vs 3 ms split); dispatch cost is negligible either way.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -31,11 +44,149 @@ class TrackStepResult(NamedTuple):
     kp_valid: jnp.ndarray    # [N]
 
 
+class MotionMatchResult(NamedTuple):
+    n_matches: jnp.ndarray    # int32 (selected window)
+    R: jnp.ndarray            # [3,3] optimized pose
+    t: jnp.ndarray            # [3]
+    n_inliers: jnp.ndarray    # int32
+    cur_obs: jnp.ndarray      # [N] int32 map-point id per keypoint (-1)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 9))
+def motion_match_step(cfg: SystemConfig, f: "frame_mod.Frame",
+                      last_xw, last_valid, last_level, last_ur,
+                      last_desc, last_angle, last_obs_ids,
+                      min_matches: int,
+                      R_t_inits=None) -> MotionMatchResult:
+    """Motion-model phase on a pre-built frame: projection matching at
+    the narrow window with an in-program 2x-window retry (reference:
+    src/Tracking.cc:1151-1212 reruns a second CPU pass) + multi-start
+    4x10 LM pose optimization. Emits per-keypoint map-point bindings
+    directly (cur_obs), so downstream stages never need a host merge."""
+    R0s, t0s = R_t_inits
+    R_pred, t_pred = R0s[0], t0s[0]
+    th = float(cfg.tracking.search_window_mono)
+
+    m_narrow = search.search_by_projection_last_frame(
+        cfg, R_pred, t_pred, last_xw, last_valid, th,
+        last_level, last_ur, last_desc, f, last_angle)
+    m_wide = search.search_by_projection_last_frame(
+        cfg, R_pred, t_pred, last_xw, last_valid, 2.0 * th,
+        last_level, last_ur, last_desc, f, last_angle)
+    use_wide = m_narrow.ok.sum() < min_matches
+    kp_idx = jnp.where(use_wide, m_wide.kp_idx, m_narrow.kp_idx)
+    ok = jnp.where(use_wide, m_wide.ok, m_narrow.ok)
+
+    uv = f.xy[kp_idx]
+    ur = f.ur[kp_idx]
+    inv_s2 = f.inv_sigma2[kp_idx]
+    res = pose_opt.pose_optimize_multi(cfg.camera, R0s, t0s, last_xw,
+                                       uv, ur, inv_s2, ok)
+    inl = res.inliers & ok
+
+    # per-keypoint binding: scatter surviving last-frame point ids onto
+    # their matched keypoints (failed rows scatter out-of-range: dropped)
+    N = f.capacity
+    idx_safe = jnp.where(inl, kp_idx, N)
+    cur_obs = jnp.full(N, -1, jnp.int32).at[idx_safe].set(
+        last_obs_ids.astype(jnp.int32), mode="drop")
+    return MotionMatchResult(n_matches=ok.sum().astype(jnp.int32),
+                             R=res.R, t=res.t,
+                             n_inliers=inl.sum().astype(jnp.int32),
+                             cur_obs=cur_obs)
+
+
+class LocalMapStepResult(NamedTuple):
+    R: jnp.ndarray            # [3,3] final pose
+    t: jnp.ndarray            # [3]
+    cur_obs: jnp.ndarray      # [N] int32 merged + inlier-filtered bindings
+    visible: jnp.ndarray      # [C] frustum-passing local points
+    n_inliers: jnp.ndarray    # int32
+    n_close_tracked: jnp.ndarray    # int32 (keyframe policy, c1c)
+    n_close_untracked: jnp.ndarray  # int32
+
+
+@functools.partial(jax.jit, static_argnums=(0, 11))
+def local_map_step(cfg: SystemConfig, f: "frame_mod.Frame",
+                   mp_pos, mp_desc, mp_normal, mp_min_dist, mp_max_dist,
+                   mids, mp_valid, cur_obs_in, R_t_inits,
+                   th: float) -> LocalMapStepResult:
+    """Track-local-map phase (reference: src/Tracking.cc:1214-1258):
+    gather the local points from the device-resident map columns,
+    projection-match them into the frame's unbound keypoints, and run
+    the final multi-start pose optimization over every binding.
+
+    mids [C] indexes the full map columns; cur_obs_in [N] carries the
+    motion-model bindings (map-point id per keypoint, -1 = free)."""
+    kp_taken = cur_obs_in >= 0
+    pos = mp_pos[mids]
+    desc = mp_desc[mids]
+    normal = mp_normal[mids]
+    dmin = mp_min_dist[mids]
+    dmax = mp_max_dist[mids]
+    R0s, t0s = R_t_inits
+    m = search.search_by_projection_local(
+        cfg, R0s[0], t0s[0], pos, desc, normal, dmin, dmax, th,
+        mp_valid, f, kp_taken)
+
+    # merge: rows without a match scatter to index N (dropped) so they
+    # can't race an accepted write at the same keypoint
+    N = f.capacity
+    idx_safe = jnp.where(m.ok, m.kp_idx, N)
+    cur_obs = cur_obs_in.at[idx_safe].set(mids.astype(jnp.int32),
+                                          mode="drop")
+    X_kp = mp_pos[jnp.clip(cur_obs, 0, None)]
+    valid_kp = cur_obs >= 0
+
+    res = pose_opt.pose_optimize_multi(cfg.camera, R0s, t0s, X_kp,
+                                       f.xy, f.ur, f.inv_sigma2, valid_kp)
+    inl = res.inliers & valid_kp
+    cur_out = jnp.where(inl, cur_obs, -1)
+
+    # close-point counts for the keyframe policy (reference
+    # bNeedToInsertClose, src/Tracking.cc:1296-1306) — computed here so
+    # the host never downloads the depth map
+    cam = cfg.camera
+    th_depth_m = cam.bf / cam.fx * cam.th_depth
+    close = (f.depth > 0) & (f.depth < th_depth_m) & f.valid
+    tracked = cur_out >= 0
+    return LocalMapStepResult(R=res.R, t=res.t, cur_obs=cur_out,
+                              visible=m.visible,
+                              n_inliers=inl.sum().astype(jnp.int32),
+                              n_close_tracked=(close & tracked).sum()
+                              .astype(jnp.int32),
+                              n_close_untracked=(close & ~tracked).sum()
+                              .astype(jnp.int32))
+
+
+@jax.jit
+def pack_frame_result(mm: MotionMatchResult, lm: LocalMapStepResult):
+    """Pack everything the host needs from one tracked frame into a
+    single f32 vector — ONE blocking download per frame.
+
+    Layout: [n_matches_mm, n_inl_mm, n_inl_final, n_close_tracked,
+             n_close_untracked, R(9 row-major), t(3), cur_obs(N),
+             visible(C)]"""
+    head = jnp.concatenate([
+        jnp.stack([mm.n_matches.astype(jnp.float32),
+                   mm.n_inliers.astype(jnp.float32),
+                   lm.n_inliers.astype(jnp.float32),
+                   lm.n_close_tracked.astype(jnp.float32),
+                   lm.n_close_untracked.astype(jnp.float32)]),
+        lm.R.reshape(-1), lm.t,
+    ])
+    return jnp.concatenate([head,
+                            lm.cur_obs.astype(jnp.float32),
+                            lm.visible.astype(jnp.float32)])
+
+
 @functools.partial(jax.jit, static_argnums=(0,))
 def tracking_step(cfg: SystemConfig, gray, depth,
                   last_xw, last_valid, last_level, last_ur, last_desc,
                   R_pred, t_pred) -> TrackStepResult:
-    """Motion-model tracking step (extraction + match + pose opt)."""
+    """Single-program motion-model tracking step (extraction + match +
+    pose opt) — the driver-facing flagship forward step; the production
+    path splits the same pipeline into the async chain above."""
     f = frame_mod._build_rgbd(cfg, gray, depth)
     m = search.search_by_projection_last_frame(
         cfg, R_pred, t_pred, last_xw, last_valid,

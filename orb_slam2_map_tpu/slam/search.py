@@ -87,8 +87,8 @@ def search_by_projection_local(cfg: SystemConfig, R, t,
         & f.valid[None, :]
         & ~kp_taken[None, :]
     )
-    dmat = matching.hamming_matrix(mp_desc, f.desc)
-    res = matching.masked_nn(dmat, gate, max_dist=100.0, ratio=0.8)
+    res = matching.gated_nn(mp_desc, f.desc, gate, max_dist=100.0,
+                            ratio=0.8)
     ok = res.ok & visible
     keep = matching.resolve_duplicates(res.idx, res.dist, ok, f.capacity)
     return ProjMatches(kp_idx=res.idx, dist=res.dist, ok=keep, visible=visible)
@@ -131,8 +131,7 @@ def search_by_projection_last_frame(cfg: SystemConfig, R, t,
     gate &= (~has_stereo[:, None]) | matching.stereo_gate(
         ur_pred, f.ur, radius
     )
-    dmat = matching.hamming_matrix(last_desc, f.desc)
-    res = matching.masked_nn(dmat, gate, max_dist=100.0)
+    res = matching.gated_nn(last_desc, f.desc, gate, max_dist=100.0)
     ok = res.ok & visible
     if last_angle is not None:
         # rotation-histogram consistency, as the reference's motion-model
@@ -153,8 +152,8 @@ def match_frame_to_kf(cfg: SystemConfig, kf_desc, kf_valid, kf_has_mp,
 
     Returns per-KF-keypoint match into frame: (kp_idx [N], ok [N])."""
     gate = (kf_valid & kf_has_mp)[:, None] & f.valid[None, :]
-    dmat = matching.hamming_matrix(kf_desc, f.desc)
-    res = matching.masked_nn(dmat, gate, max_dist=50.0, ratio=nn_ratio)
+    res = matching.gated_nn(kf_desc, f.desc, gate, max_dist=50.0,
+                            ratio=nn_ratio)
     keep = matching.resolve_duplicates(res.idx, res.dist, res.ok, f.capacity)
     return res.idx, keep
 
@@ -167,8 +166,8 @@ def match_descriptors_windowed(cfg: SystemConfig, desc_a, xy_a, valid_a,
     (reference: src/ORBmatcher.cc:405-520 SearchForInitialization)."""
     gate = (matching.window_gate(xy_a, xy_b, radius)
             & valid_a[:, None] & valid_b[None, :])
-    dmat = matching.hamming_matrix(desc_a, desc_b)
-    res = matching.masked_nn(dmat, gate, max_dist=50.0, ratio=0.9)
+    res = matching.gated_nn(desc_a, desc_b, gate, max_dist=50.0,
+                            ratio=0.9)
     ok = res.ok
     if angle_a is not None:
         ok = matching.rotation_consistency(angle_a, angle_b, res.idx, ok)

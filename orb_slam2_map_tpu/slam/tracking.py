@@ -26,6 +26,7 @@ from ..config import SystemConfig
 from ..geom import se3
 from ..optim import epnp, pose_opt
 from . import frame as frame_mod
+from . import pipeline_step
 from . import search
 from .frame import Frame
 from .mapstore import MapStore
@@ -88,8 +89,11 @@ class Tracker:
         (reference: src/Tracking.cc:300-338 GrabImageRGBD + :449-765
         Track)."""
         self.frame_id += 1
-        f = frame_mod.build_rgbd_frame(self.cfg, gray, depth)
-        return self._track(timestamp, f, rgb=rgb, depth_img=depth)
+        # the frame is built lazily: in the steady OK state it is built
+        # inside the fused motion_model_step (one device dispatch for
+        # extract + match + pose opt, SURVEY.md §3.2 hot path)
+        return self._track(timestamp, None, rgb=rgb, depth_img=depth,
+                           gray=gray)
 
     def track_frame(self, timestamp: float, f: Frame,
                     rgb=None, depth_img=None) -> Optional[np.ndarray]:
@@ -102,10 +106,16 @@ class Tracker:
     # main state machine
     # ------------------------------------------------------------------
 
-    def _track(self, ts: float, f: Frame, rgb=None, depth_img=None):
+    def _track(self, ts: float, f: Optional[Frame], rgb=None,
+               depth_img=None, gray=None):
+        def build():
+            return frame_mod.build_rgbd_frame(self.cfg, gray, depth_img)
+
         if self.state in (TrackingState.NO_IMAGES_YET,
                           TrackingState.NOT_INITIALIZED):
             self.state = TrackingState.NOT_INITIALIZED
+            if f is None:
+                f = build()
             ok = self._stereo_initialization(ts, f, rgb, depth_img)
             if ok:
                 self.state = TrackingState.OK
@@ -113,24 +123,43 @@ class Tracker:
                 return self._pose_of(f)
             return None
 
-        cur_obs = np.full(f.capacity, -1, dtype=np.int64)
         ok = False
+        done_local = False
+        close_counts = None
         if self.state == TrackingState.OK:
             if self.velocity is not None:
-                ok, f, cur_obs = self._track_with_motion_model(f)
-            if not ok:
+                if f is None and gray is not None:
+                    status, f, cur_obs, close_counts = self._track_chain(
+                        gray, depth_img)
+                    if status == "ok":
+                        ok, done_local = True, True
+                    elif status == "lm_fail":
+                        ok, done_local = False, True
+                    # "mm_fail" falls through to the reference-KF path
+                else:
+                    if f is None:
+                        f = build()
+                    ok, f, cur_obs = self._track_with_motion_model(f)
+            if not ok and not done_local:
+                if f is None:
+                    f = build()
+                cur_obs = np.full(f.capacity, -1, dtype=np.int64)
                 ok, f, cur_obs = self._track_reference_keyframe(f)
         else:  # LOST
+            if f is None:
+                f = build()
+            cur_obs = np.full(f.capacity, -1, dtype=np.int64)
             ok, f, cur_obs = self._relocalize(f)
             if ok:
                 self.last_reloc_frame_id = self.frame_id
 
-        if ok and not self.only_tracking:
-            ok, f, cur_obs = self._track_local_map(f, cur_obs)
-        elif ok:
-            ok2, f2, cur_obs2 = self._track_local_map(f, cur_obs)
-            if ok2:
-                f, cur_obs = f2, cur_obs2
+        if not done_local:
+            if ok and not self.only_tracking:
+                ok, f, cur_obs = self._track_local_map(f, cur_obs)
+            elif ok:
+                ok2, f2, cur_obs2 = self._track_local_map(f, cur_obs)
+                if ok2:
+                    f, cur_obs = f2, cur_obs2
 
         if ok:
             self.state = TrackingState.OK
@@ -145,7 +174,8 @@ class Tracker:
             mids = cur_obs[cur_obs >= 0]
             self.map.mp_found[mids] += 1
 
-            if not self.only_tracking and self._need_new_keyframe(f, cur_obs):
+            if not self.only_tracking and self._need_new_keyframe(
+                    f, cur_obs, close_counts):
                 self._create_new_keyframe(ts, f, cur_obs, rgb, depth_img)
         else:
             self.state = TrackingState.LOST
@@ -244,6 +274,82 @@ class Tracker:
         cur_obs[kp_of[inl]] = last_obs[inl]
         return True, f, cur_obs
 
+    def _track_chain(self, gray, depth_img):
+        """Steady-state frame as an async device chain with ONE blocking
+        download: build frame → motion-model match+opt → local-map
+        match+opt → packed result (slam/pipeline_step.py). Returns
+        (status, frame, cur_obs, close_counts) with status in
+        {"ok", "mm_fail", "lm_fail"}; on "mm_fail" the caller runs the
+        reference-keyframe fallback (reference control flow,
+        src/Tracking.cc:449-765, at a fraction of the sync cost)."""
+        tcfg = self.cfg.tracking
+        Rv, tv = self.velocity
+        Rl, tl = np.asarray(self.last_frame.R), np.asarray(self.last_frame.t)
+        R_pred = (Rv @ Rl).astype(np.float32)
+        t_pred = (Rv @ tl + tv).astype(np.float32)
+
+        last_obs = self.last_obs.copy()
+        alive = (last_obs >= 0) & self.map.mp_exists[np.clip(last_obs, 0, None)]
+        last_obs[~alive] = -1
+        last_xw = self.map.mp_pos[np.clip(last_obs, 0, None)]
+
+        # local candidate set from the previous frame's bindings (1-frame
+        # lag; the local map evolves far slower than frame rate)
+        cand = self._local_candidates(last_obs)
+        if cand is None:
+            return "mm_fail", None, None, None
+        mids, mids_p, mp_valid = cand
+        th = 3.0
+        if self.frame_id - self.last_reloc_frame_id < int(self.cfg.camera.fps):
+            th = 5.0
+
+        lf = self.last_frame
+        # --- async dispatch chain (no host sync until the pack) ---
+        f = frame_mod._build_rgbd(self.cfg, jnp.asarray(gray),
+                                  jnp.asarray(depth_img))
+        R0s = jnp.asarray(np.stack([R_pred, Rl]).astype(np.float32))
+        t0s = jnp.asarray(np.stack([t_pred, tl]).astype(np.float32))
+        mm = pipeline_step.motion_match_step(
+            self.cfg, f, jnp.asarray(last_xw), jnp.asarray(alive),
+            lf.level, lf.ur, lf.desc, lf.angle,
+            jnp.asarray(last_obs.astype(np.int32)),
+            int(tcfg.motion_model_min_matches), (R0s, t0s))
+        dev = self.map.device_point_arrays()
+        R0s2 = jnp.stack([mm.R, jnp.asarray(Rl.astype(np.float32))])
+        t0s2 = jnp.stack([mm.t, jnp.asarray(tl.astype(np.float32))])
+        lm = pipeline_step.local_map_step(
+            self.cfg, f, dev["mp_pos"], dev["mp_desc"], dev["mp_normal"],
+            dev["mp_min_dist"], dev["mp_max_dist"],
+            jnp.asarray(mids_p.astype(np.int32)), jnp.asarray(mp_valid),
+            mm.cur_obs, (R0s2, t0s2), float(th))
+        packed = pipeline_step.pack_frame_result(mm, lm)
+        out = np.asarray(packed)                # the ONE blocking download
+
+        # --- unpack + decide ---
+        # layout: [5 scalars][R 9][t 3][cur_obs N][visible C]
+        n_mm, n_inl_mm, n_inl_final = out[0], out[1], out[2]
+        close_counts = (int(out[3]), int(out[4]))
+        N = f.capacity
+        C = LOCAL_POINT_CAP
+        R = out[5:14].reshape(3, 3).astype(np.float32)
+        t = out[14:17].astype(np.float32)
+        cur_obs = out[17:17 + N].astype(np.int64)
+        visible = out[17 + N:17 + N + C].astype(bool)
+
+        if (n_mm < tcfg.motion_model_min_matches) or (n_inl_mm < 10):
+            return "mm_fail", f, None, None
+
+        self.map.mp_visible[mids[visible[:len(mids)]]] += 1
+        f = frame_mod.set_pose(f, R, t)
+        self.matches_inliers = int(n_inl_final)
+
+        min_inl = tcfg.local_map_min_inliers
+        if self.frame_id - self.last_reloc_frame_id < int(self.cfg.camera.fps):
+            min_inl = tcfg.local_map_min_inliers_after_reloc
+        if self.matches_inliers < min_inl:
+            return "lm_fail", f, cur_obs, close_counts
+        return "ok", f, cur_obs, close_counts
+
     def _track_reference_keyframe(self, f: Frame):
         """(reference: src/Tracking.cc:1041-1083)."""
         tcfg = self.cfg.tracking
@@ -281,20 +387,22 @@ class Tracker:
         cur_obs[kp_of[inl]] = kf_obs[inl]
         return True, f, cur_obs
 
-    def _track_local_map(self, f: Frame, cur_obs: np.ndarray):
-        """(reference: src/Tracking.cc:1214-1258 + 1447-1643)."""
-        tcfg = self.cfg.tracking
-        local_kfs = self._update_local_keyframes(cur_obs)
+    def _local_candidates(self, bindings: np.ndarray):
+        """Local-map candidate set from covisibility voting over the
+        given keypoint→point bindings (reference: src/Tracking.cc:
+        1509-1643 UpdateLocalKeyFrames/Points). Returns (mids, mids
+        padded to LOCAL_POINT_CAP, valid mask) or None."""
+        local_kfs = self._update_local_keyframes(bindings)
         if len(local_kfs) == 0:
-            return False, f, cur_obs
+            return None
         self.ref_kf = int(local_kfs[0])
 
         # local points = union of observations of local KFs
         inc = self.map.incidence[local_kfs].any(axis=0)
         inc &= self.map.mp_exists
         mids = np.nonzero(inc)[0]
-        # exclude points already matched in this frame (they stay matched)
-        already = set(cur_obs[cur_obs >= 0].tolist())
+        # exclude points already bound (they stay matched)
+        already = set(bindings[bindings >= 0].tolist())
         if len(mids) > LOCAL_POINT_CAP:
             # keep the most-observed points
             order = np.argsort(-self.map.mp_obs_count[mids], kind="stable")
@@ -305,63 +413,47 @@ class Tracker:
         mp_valid = np.concatenate([
             ~np.isin(mids, list(already)) if already else np.ones(len(mids), bool),
             np.zeros(pad, dtype=bool)])
+        return mids, mids_p, mp_valid
 
-        kp_taken = cur_obs >= 0
-        th = 3.0 if True else 1.0  # RGB-D th=3 (reference: src/Tracking.cc:1496)
+    def _track_local_map(self, f: Frame, cur_obs: np.ndarray):
+        """(reference: src/Tracking.cc:1214-1258 + 1447-1643). Fallback/
+        relocalization path; the steady state runs inside _track_chain."""
+        tcfg = self.cfg.tracking
+        cand = self._local_candidates(cur_obs)
+        if cand is None:
+            return False, f, cur_obs
+        mids, mids_p, mp_valid = cand
+
+        th = 3.0  # RGB-D th=3 (reference: src/Tracking.cc:1496)
         if self.frame_id - self.last_reloc_frame_id < int(self.cfg.camera.fps):
             th = 5.0
-        m = search.search_by_projection_local(
-            self.cfg, f.R, f.t,
-            jnp.asarray(self.map.mp_pos[mids_p]),
-            jnp.asarray(self.map.mp_desc[mids_p]),
-            jnp.asarray(self.map.mp_normal[mids_p]),
-            jnp.asarray(self.map.mp_min_dist[mids_p]),
-            jnp.asarray(self.map.mp_max_dist[mids_p]),
-            float(th), jnp.asarray(mp_valid), f, jnp.asarray(kp_taken))
 
-        ok_np = np.asarray(m.ok)
-        kp_of = np.asarray(m.kp_idx)
+        # multi-start inits: current estimate + last frame's optimized pose
+        Rl = (np.asarray(self.last_frame.R) if self.last_frame is not None
+              else np.asarray(f.R))
+        tl = (np.asarray(self.last_frame.t) if self.last_frame is not None
+              else np.asarray(f.t))
+        R0s = jnp.asarray(np.stack([np.asarray(f.R), Rl]).astype(np.float32))
+        t0s = jnp.asarray(np.stack([np.asarray(f.t), tl]).astype(np.float32))
+
+        # ONE fused dispatch: device-side gather from the version-cached
+        # map columns + projection match + final pose optimization
+        dev = self.map.device_point_arrays()
+        res = pipeline_step.local_map_step(
+            self.cfg, f,
+            dev["mp_pos"], dev["mp_desc"], dev["mp_normal"],
+            dev["mp_min_dist"], dev["mp_max_dist"],
+            jnp.asarray(mids_p.astype(np.int32)), jnp.asarray(mp_valid),
+            jnp.asarray(cur_obs.astype(np.int32)),
+            (R0s, t0s), float(th))
+
         # visible counter: only frustum-passing points (reference increments
         # mnVisible inside isInFrustum, src/Tracking.cc:1486-1490)
-        vis = np.asarray(m.visible)[: len(mids)]
+        vis = np.asarray(res.visible)[: len(mids)]
         self.map.mp_visible[mids[vis]] += 1
-        # merge new matches into cur_obs
-        new_rows = np.nonzero(ok_np)[0]
-        cur_obs2 = cur_obs.copy()
-        cur_obs2[kp_of[new_rows]] = mids_p[new_rows]
-
-        # final pose optimization over every matched point
-        rows = np.nonzero(cur_obs2 >= 0)[0]
-        X = self.map.mp_pos[cur_obs2[rows]]
-        Xp = np.zeros((f.capacity, 3), dtype=np.float32)
-        uv = np.zeros((f.capacity, 2), dtype=np.float32)
-        ur = np.full(f.capacity, -1.0, dtype=np.float32)
-        iv = np.ones(f.capacity, dtype=np.float32)
-        valid = np.zeros(f.capacity, dtype=bool)
-        Xp[rows] = X
-        uv[rows] = np.asarray(f.xy)[rows]
-        ur[rows] = np.asarray(f.ur)[rows]
-        iv[rows] = np.asarray(f.inv_sigma2)[rows]
-        valid[rows] = True
-        # multi-start: current estimate + last frame's optimized pose
-        inits_R = [np.asarray(f.R)]
-        inits_t = [np.asarray(f.t)]
-        if self.last_frame is not None:
-            inits_R.append(np.asarray(self.last_frame.R))
-            inits_t.append(np.asarray(self.last_frame.t))
-        else:
-            inits_R.append(np.asarray(f.R))
-            inits_t.append(np.asarray(f.t))
-        res = pose_opt.pose_optimize_multi_jit(
-            self.cfg.camera,
-            jnp.asarray(np.stack(inits_R).astype(np.float32)),
-            jnp.asarray(np.stack(inits_t).astype(np.float32)),
-            jnp.asarray(Xp), jnp.asarray(uv),
-            jnp.asarray(ur), jnp.asarray(iv), jnp.asarray(valid))
-        inl = np.asarray(res.inliers)
+        cur_obs2 = np.asarray(res.cur_obs).astype(np.int64)
         f = frame_mod.set_pose(f, np.asarray(res.R), np.asarray(res.t))
-        cur_obs2[~inl] = -1
-        self.matches_inliers = int(inl.sum())
+        self.matches_inliers = int(res.n_inliers)
 
         min_inl = tcfg.local_map_min_inliers
         if self.frame_id - self.last_reloc_frame_id < int(self.cfg.camera.fps):
@@ -449,7 +541,8 @@ class Tracker:
     # keyframe policy
     # ------------------------------------------------------------------
 
-    def _need_new_keyframe(self, f: Frame, cur_obs) -> bool:
+    def _need_new_keyframe(self, f: Frame, cur_obs,
+                           close_counts=None) -> bool:
         """(reference: src/Tracking.cc:1261-1358)."""
         if self.frame_id - self.last_reloc_frame_id < self.max_frames_between_kf \
                 and self.map.n_keyframes() > self.max_frames_between_kf:
@@ -461,13 +554,17 @@ class Tracker:
         ref_mids = ref_obs[ref_obs >= 0]
         ref_matches = int((self.map.mp_obs_count[ref_mids] >= min_obs).sum())
 
-        # close-point bookkeeping (RGB-D: c1c / bNeedToInsertClose)
-        depth = np.asarray(f.depth)
-        valid = np.asarray(f.valid)
-        close = (depth > 0) & (depth < self.th_depth_m) & valid
-        tracked = cur_obs >= 0
-        tracked_close = int((close & tracked).sum())
-        untracked_close = int((close & ~tracked).sum())
+        # close-point bookkeeping (RGB-D: c1c / bNeedToInsertClose);
+        # the fused chain delivers the counts in the packed download
+        if close_counts is not None:
+            tracked_close, untracked_close = close_counts
+        else:
+            depth = np.asarray(f.depth)
+            valid = np.asarray(f.valid)
+            close = (depth > 0) & (depth < self.th_depth_m) & valid
+            tracked = cur_obs >= 0
+            tracked_close = int((close & tracked).sum())
+            untracked_close = int((close & ~tracked).sum())
         need_close = tracked_close < 100 and untracked_close > 70
 
         # reference: thRefRatio = 0.75, 0.4 only while the map has a single
