@@ -48,29 +48,28 @@ def _windowed_reduce(x: jnp.ndarray, op, length: int) -> jnp.ndarray:
     raise ValueError("only arc length 9 supported")
 
 
-def fast_score(img: jnp.ndarray, threshold: float) -> jnp.ndarray:
-    """FAST-9-16 corner response map [H, W].
+def fast_score_map(img: jnp.ndarray) -> jnp.ndarray:
+    """Threshold-independent FAST-9-16 corner score map [H, W].
 
-    Zero where not a corner; elsewhere the OpenCV cornerScore: the largest
-    t for which the pixel remains a corner (computed in closed form as the
-    best over arcs of the min ring-difference within the arc).
+    score(p) = the largest threshold t at which p is still a corner
+    (OpenCV cornerScore in closed form: best over the 16 circular arcs of
+    the min ring-difference within the arc). A pixel is a FAST corner at
+    threshold t iff score(p) > t, so a single pass serves every threshold
+    — the reference's two-threshold fallback (iniThFAST=20, minThFAST=7,
+    src/ORBextractor.cc:791-801) reads this one map twice.
     """
     ring = ring_stack(img)                              # [16, H, W]
     center = img[None]
-    bright_diff = ring - center                          # > t for bright arc
-    dark_diff = center - ring                            # > t for dark arc
+    min_b = _windowed_reduce(ring - center, jnp.minimum, ARC_LENGTH).max(axis=0)
+    min_d = _windowed_reduce(center - ring, jnp.minimum, ARC_LENGTH).max(axis=0)
+    return jnp.maximum(min_b, min_d)
 
-    bright = bright_diff > threshold
-    dark = dark_diff > threshold
-    is_corner = (
-        _windowed_reduce(bright, jnp.logical_and, ARC_LENGTH).any(axis=0)
-        | _windowed_reduce(dark, jnp.logical_and, ARC_LENGTH).any(axis=0)
-    )
 
-    min_b = _windowed_reduce(bright_diff, jnp.minimum, ARC_LENGTH).max(axis=0)
-    min_d = _windowed_reduce(dark_diff, jnp.minimum, ARC_LENGTH).max(axis=0)
-    score = jnp.maximum(min_b, min_d)
-    return jnp.where(is_corner, score, 0.0)
+def fast_score(img: jnp.ndarray, threshold: float) -> jnp.ndarray:
+    """FAST-9-16 corner response map [H, W]: zero where not a corner at
+    `threshold`, else the cornerScore (see fast_score_map)."""
+    score = fast_score_map(img)
+    return jnp.where(score > threshold, score, 0.0)
 
 
 def nms3(score: jnp.ndarray) -> jnp.ndarray:
