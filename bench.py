@@ -27,7 +27,11 @@ import numpy as np
 def main():
     import jax
 
-    n_frames = int(os.environ.get("BENCH_FRAMES", "60"))
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/jax_comp_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    n_frames = int(os.environ.get("BENCH_FRAMES", "120"))
     n_step_iters = int(os.environ.get("BENCH_STEP_ITERS", "30"))
 
     from orb_slam2_map_tpu.config import SystemConfig
@@ -41,21 +45,24 @@ def main():
     cfg = SystemConfig(camera=world.cam)
     Twc, ts = sweep_trajectory(n_frames)
     seq = SyntheticRGBDSequence(world, Twc, ts)
+    frames = [seq[i] for i in range(len(seq))]
 
-    # --- 1) full pipeline: ATE + end-to-end fps ---
-    slam = SLAMSystem(cfg, Sensor.RGBD, enable_loop_closing=False)
-    times = []
-    for i in range(len(seq)):
-        t, gray, depth, rgb = seq[i]
+    # --- 1) full pipeline (asynchronous device-resident tracking):
+    #         ATE + end-to-end wall-clock fps, measured on a warm second
+    #         pass (first pass pays one-time jit compilation) ---
+    ate = pipeline_fps = 0.0
+    for _ in range(2):
+        slam = SLAMSystem(cfg, Sensor.RGBD, enable_loop_closing=False)
         t0 = time.perf_counter()
-        slam.track_rgbd(t, gray, depth)
-        dt = time.perf_counter() - t0
-        if i >= 3:
-            times.append(dt)
-    ts_est, Twc_est = slam.trajectory()
-    pos_est = np.asarray([T[:3, 3] for T in Twc_est])
-    ate = evaluate.ate_rmse(ts_est, pos_est, ts, Twc[:, :3, 3])
-    pipeline_fps = 1.0 / np.median(times) if times else 0.0
+        for t, gray, depth, rgb in frames:
+            slam.track_rgbd_async(t, gray, depth)
+        slam.flush()
+        wall = time.perf_counter() - t0
+        ts_est, Twc_est = slam.trajectory()
+        pos_est = np.asarray([T[:3, 3] for T in Twc_est])
+        ate = evaluate.ate_rmse(ts_est, pos_est, ts, Twc[:, :3, 3])
+        pipeline_fps = len(frames) / wall
+        slam.shutdown()
 
     # --- 2) fused tracking step: device throughput (frames/s/chip) ---
     import jax.numpy as jnp
@@ -77,6 +84,7 @@ def main():
         "unit": "frames/s/chip",
         "vs_baseline": round(float(step_fps) / 30.0, 3),
         "ate_cm": round(float(ate * 100), 3),
+        "ate_ok": bool(ate * 100 <= 2.0),   # north-star gate (BASELINE.md)
         "pipeline_fps": round(float(pipeline_fps), 2),
         "frames": n_frames,
         "platform": jax.devices()[0].platform,

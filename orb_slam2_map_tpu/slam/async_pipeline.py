@@ -1,0 +1,399 @@
+"""Asynchronous RGB-D tracking pipeline: device-resident recurrence +
+background supervision.
+
+The reference overlaps Tracking / LocalMapping / LoopClosing as CPU
+threads over a mutexed map (reference: src/System.cc:107-133). The
+TPU-native equivalent re-draws the boundary around the *device*:
+
+  * The per-frame tracking recurrence (pose, velocity, last-frame
+    features, keypoint->point bindings) lives ON the TPU as a jit carry
+    (pipeline_step.TrackCarry). The dispatch thread streams frames into
+    `fused_frame_step` without ever blocking on a result — essential on
+    networked-TPU deployments where one device->host fetch costs more
+    than a whole frame period.
+  * A fetcher thread downloads the packed per-frame results in batches
+    (one RTT amortizes over several frames).
+  * A supervisor thread owns the host map (single writer — the lock-free
+    analogue of the reference's map mutex): it consumes results with a
+    small lag, maintains visibility counters and the trajectory log, runs
+    the keyframe policy, local mapping and loop closing, and *publishes*
+    immutable device snapshots (map-point columns + local-candidate set)
+    that the dispatch thread picks up at the next frame. Publication is
+    a single reference assignment — torn reads are impossible, giving the
+    safe async semantics the reference builds from interlock flags
+    (src/LocalMapping.cc:555-630, SetNotErase src/KeyFrame.cc:469-489).
+  * Failure (tracking lost) is detected with ~pipeline-depth frames of
+    lag; the pipeline then drains, rolls back to the buffered frames and
+    runs the synchronous relocalization path before resuming.
+"""
+
+from __future__ import annotations
+
+import collections
+import queue
+import threading
+from dataclasses import dataclass
+from typing import Deque, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import SystemConfig
+from ..utils import profiling
+from . import frame as frame_mod
+from . import pipeline_step
+from .pipeline_step import PACK_SCALARS, TrackCarry
+from .tracking import LOCAL_POINT_CAP, FrameLog, Tracker, TrackingState
+
+
+@dataclass
+class Published:
+    """Immutable device snapshot published by the supervisor; swapped
+    atomically (reference analogue: the map state guarded by
+    mMutexMapUpdate, src/Tracking.cc:463)."""
+
+    cols: Dict[str, jnp.ndarray]
+    mp_alive: jnp.ndarray       # [M] bool
+    mids_np: np.ndarray         # [<=C] selected local candidate ids
+    mids_dev: jnp.ndarray       # [C] int32 padded
+    mp_valid_dev: jnp.ndarray   # [C] bool
+    version: int
+
+
+@dataclass
+class _InFlight:
+    fid: int
+    ts: float
+    packed: jnp.ndarray
+    frame: frame_mod.Frame
+    published: Published
+    rgb: Optional[np.ndarray]
+
+
+class AsyncRGBDPipeline:
+    """Pipelined steady-state tracking around a synchronous Tracker.
+
+    The sync Tracker handles initialization, relocalization and any
+    fallback; once tracking is OK with a velocity estimate, frames flow
+    through the device recurrence. Results are processed by the
+    supervisor with `depth`-frames of lag."""
+
+    def __init__(self, cfg: SystemConfig, tracker: Tracker,
+                 local_mapper=None, dense_mapper=None,
+                 max_in_flight: int = 24, ring: int = 64):
+        self.cfg = cfg
+        self.tracker = tracker
+        self.map = tracker.map
+        self.local_mapper = local_mapper
+        self.dense_mapper = dense_mapper
+        self.max_in_flight = max_in_flight
+
+        self._carry: Optional[TrackCarry] = None
+        self._published: Optional[Published] = None
+        self._mode = "sync"
+        self._failed_at: Optional[int] = None
+        self._ring: Deque[Tuple[int, float, np.ndarray, np.ndarray,
+                                Optional[np.ndarray]]] = \
+            collections.deque(maxlen=ring)
+        self._inflight_sem = threading.Semaphore(max_in_flight)
+
+        self._fetch_q: "queue.Queue[Optional[_InFlight]]" = queue.Queue()
+        self._result_q: "queue.Queue" = queue.Queue()
+        self._map_lock = threading.Lock()   # host-map ownership
+        self._results_since_refresh = 0
+        self._pending_results = 0
+        self._pending_cv = threading.Condition()
+        self._running = True
+        self._fetcher = threading.Thread(target=self._fetch_loop,
+                                         daemon=True)
+        self._supervisor = threading.Thread(target=self._supervise_loop,
+                                            daemon=True)
+        self._fetcher.start()
+        self._supervisor.start()
+
+    # ------------------------------------------------------------------
+    # main-thread API
+    # ------------------------------------------------------------------
+
+    def submit(self, ts: float, gray: np.ndarray, depth: np.ndarray,
+               rgb: Optional[np.ndarray] = None) -> None:
+        """Feed one frame. Non-blocking in steady state (the per-frame
+        pose is recovered from the trajectory log; the reference's
+        blocking TrackRGBD return value has no lag-free async analogue)."""
+        fid = self.tracker.frame_id + 1
+        self._ring.append((fid, ts, gray, depth, rgb))
+
+        if self._failed_at is not None:
+            self._recover()
+
+        if self._mode == "sync":
+            with self._map_lock:
+                self.tracker.track_rgbd(ts, gray, depth, rgb=rgb)
+            if (self.tracker.state == TrackingState.OK
+                    and self.tracker.velocity is not None):
+                self._enter_async()
+            return
+
+        # --- async steady state ---
+        self.tracker.frame_id = fid
+        self._inflight_sem.acquire()
+        pub = self._published
+        th = 3.0
+        if fid - self.tracker.last_reloc_frame_id < int(self.cfg.camera.fps):
+            th = 5.0
+        min_inl = self.cfg.tracking.local_map_min_inliers
+        if fid - self.tracker.last_reloc_frame_id < int(self.cfg.camera.fps):
+            min_inl = self.cfg.tracking.local_map_min_inliers_after_reloc
+        gray_u8, depth_f32, ctrl = jax.device_put(
+            (np.asarray(gray, dtype=np.uint8),
+             np.asarray(depth, dtype=np.float32),
+             np.asarray([th, float(min_inl), 1.0, 0.0], dtype=np.float32)))
+        self._carry, packed, f = pipeline_step.fused_frame_step(
+            self.cfg, self._carry, gray_u8, depth_f32, ctrl,
+            pub.cols["mp_pos"], pub.cols["mp_desc"], pub.cols["mp_normal"],
+            pub.cols["mp_min_dist"], pub.cols["mp_max_dist"],
+            pub.mp_alive, pub.mids_dev, pub.mp_valid_dev)
+        with self._pending_cv:
+            self._pending_results += 1
+        self._fetch_q.put(_InFlight(fid=fid, ts=ts, packed=packed, frame=f,
+                                    published=pub, rgb=rgb))
+
+    def flush(self) -> None:
+        """Drain all in-flight frames and their supervisor processing."""
+        with self._pending_cv:
+            while self._pending_results > 0:
+                self._pending_cv.wait(timeout=0.1)
+        if self._failed_at is not None:
+            self._recover()
+
+    def shutdown(self) -> None:
+        self.flush()
+        self._running = False
+        self._fetch_q.put(None)
+        self._result_q.put(None)
+        self._fetcher.join(timeout=5.0)
+        self._supervisor.join(timeout=5.0)
+
+    # ------------------------------------------------------------------
+    # mode transitions
+    # ------------------------------------------------------------------
+
+    def _enter_async(self):
+        t = self.tracker
+        lf = t.last_frame
+        cur_obs = np.where(
+            (t.last_obs >= 0) & self.map.mp_exists[np.clip(t.last_obs, 0,
+                                                           None)],
+            t.last_obs, -1).astype(np.int32)
+        Rv, tv = t.velocity
+        self._carry = TrackCarry(
+            R=jnp.asarray(np.asarray(lf.R, dtype=np.float32)),
+            t=jnp.asarray(np.asarray(lf.t, dtype=np.float32)),
+            Rv=jnp.asarray(Rv.astype(np.float32)),
+            tv=jnp.asarray(tv.astype(np.float32)),
+            cur_obs=jnp.asarray(cur_obs),
+            last_xy=lf.xy, last_ur=lf.ur, last_depth=lf.depth,
+            last_desc=lf.desc, last_level=lf.level, last_angle=lf.angle,
+            last_valid=lf.valid, ok=jnp.asarray(True))
+        with self._map_lock:
+            self._publish(t.last_obs)
+        self._mode = "async"
+
+    def _publish(self, bindings: Optional[np.ndarray]):
+        """Build + swap the published device snapshot (supervisor/main
+        thread under map lock)."""
+        cols = dict(self.map.device_point_arrays())
+        mp_alive = jnp.asarray(self.map.mp_exists)
+        if bindings is None:
+            bindings = np.full(self.map.N, -1, dtype=np.int64)
+        cand = self.tracker._local_candidates(
+            np.where(self.map.mp_exists[np.clip(bindings, 0, None)]
+                     & (bindings >= 0), bindings, -1))
+        if cand is None:
+            # fall back to the most-observed points
+            mids = np.nonzero(self.map.mp_exists)[0][:LOCAL_POINT_CAP]
+            pad = LOCAL_POINT_CAP - len(mids)
+            mids_p = np.concatenate([mids, np.zeros(pad, dtype=np.int64)])
+            valid = np.concatenate([np.ones(len(mids), bool),
+                                    np.zeros(pad, bool)])
+        else:
+            mids, mids_p, valid = cand
+            # in the pipelined path, already-bound points must stay
+            # matchable: bindings lag the current frame
+            valid = np.concatenate([np.ones(len(mids), bool),
+                                    np.zeros(LOCAL_POINT_CAP - len(mids),
+                                             bool)])
+        mids_dev, valid_dev = jax.device_put(
+            (mids_p.astype(np.int32), valid))
+        self._published = Published(
+            cols=cols, mp_alive=mp_alive, mids_np=mids,
+            mids_dev=mids_dev, mp_valid_dev=valid_dev,
+            version=self.map.version)
+
+    def _recover(self):
+        """Roll back to synchronous tracking after an async failure:
+        frames from the failure on are marked lost; relocalization runs
+        on the most recent buffered frame (reference behavior: LOST state
+        -> Relocalization, src/Tracking.cc:1645-1806)."""
+        # drain in-flight results first — everything after the failure is
+        # untrusted and gets logged lost by _process_result
+        with self._pending_cv:
+            while self._pending_results > 0:
+                self._pending_cv.wait(timeout=0.1)
+        self._failed_at = None
+        self._mode = "sync"
+        with self._map_lock:
+            t = self.tracker
+            t.state = TrackingState.LOST
+            t.velocity = None
+            latest = self._ring[-1] if self._ring else None
+            if latest is not None:
+                fid, ts, gray, depth, rgb = latest
+                t.frame_id = fid - 1
+                t.track_rgbd(ts, gray, depth, rgb=rgb)
+                if (t.state == TrackingState.OK
+                        and t.velocity is not None):
+                    self._enter_async()
+
+    # ------------------------------------------------------------------
+    # fetcher thread: batched device->host downloads
+    # ------------------------------------------------------------------
+
+    def _fetch_loop(self):
+        while self._running:
+            item = self._fetch_q.get()
+            if item is None:
+                return
+            batch = [item]
+            while True:
+                try:
+                    nxt = self._fetch_q.get_nowait()
+                except queue.Empty:
+                    break
+                if nxt is None:
+                    self._running = False
+                    break
+                batch.append(nxt)
+            arrs = jax.device_get([b.packed for b in batch])
+            for b, a in zip(batch, arrs):
+                self._result_q.put((b, a))
+
+    # ------------------------------------------------------------------
+    # supervisor thread: single writer of the host map
+    # ------------------------------------------------------------------
+
+    def _supervise_loop(self):
+        while self._running:
+            item = self._result_q.get()
+            if item is None:
+                return
+            inflight, packed = item
+            try:
+                with self._map_lock:
+                    self._process_result(inflight, packed)
+            except Exception:  # pragma: no cover - supervisor must survive
+                import traceback
+                traceback.print_exc()
+            finally:
+                self._inflight_sem.release()
+                with self._pending_cv:
+                    self._pending_results -= 1
+                    self._pending_cv.notify_all()
+
+    def _process_result(self, inflight: _InFlight, packed: np.ndarray):
+        t = self.tracker
+        n_mm, n_inl_mm, n_inl_final = packed[0], packed[1], packed[2]
+        close_tracked, close_untracked = int(packed[3]), int(packed[4])
+        ok = packed[5] > 0.5
+        N = self.map.N
+        S = PACK_SCALARS
+        R = packed[S:S + 9].reshape(3, 3).astype(np.float32)
+        tt = packed[S + 9:S + 12].astype(np.float32)
+        cur_obs = packed[S + 12:S + 12 + N].astype(np.int64)
+        visible = packed[S + 12 + N:S + 12 + N + LOCAL_POINT_CAP] > 0.5
+
+        if self._failed_at is not None and inflight.fid > self._failed_at:
+            ok = False   # everything after a failure is untrusted
+        if not ok:
+            if self._failed_at is None:
+                self._failed_at = inflight.fid
+            # log as lost; pose withheld
+            t.logs.append(FrameLog(timestamp=inflight.ts,
+                                   ref_kf=t.ref_kf,
+                                   Tcr=np.eye(4, dtype=np.float32),
+                                   lost=True))
+            return
+
+        # visibility / found counters (reference: Tracking.cc:1470-1505)
+        mids_pub = inflight.published.mids_np
+        vis = visible[:len(mids_pub)]
+        self.map.mp_visible[mids_pub[vis]] += 1
+        alive_obs = cur_obs[(cur_obs >= 0)]
+        alive_obs = alive_obs[self.map.mp_exists[alive_obs]]
+        self.map.mp_found[alive_obs] += 1
+        t.matches_inliers = int(n_inl_final)
+
+        # trajectory log relative to the current reference KF
+        Tcw = np.eye(4, dtype=np.float32)
+        Tcw[:3, :3] = R
+        Tcw[:3, 3] = tt
+        Trw = self.map.kf_Tcw(t.ref_kf)
+        t.logs.append(FrameLog(timestamp=inflight.ts, ref_kf=t.ref_kf,
+                               Tcr=Tcw @ np.linalg.inv(Trw), lost=False))
+
+        # keyframe policy (reference: src/Tracking.cc:1261-1358), with the
+        # reference's local-mapping backpressure (:1340-1350): while the
+        # mapper is behind (results queued up), defer keyframe insertion
+        # unless the hard c1a timeout forces one
+        f = inflight.frame
+        fake_cur = np.where(self.map.mp_exists[np.clip(cur_obs, 0, None)]
+                            & (cur_obs >= 0), cur_obs, -1)
+        mapper_busy = self._result_q.qsize() > self.max_in_flight // 2
+        c1a_force = (inflight.fid - t.last_frame_id_of_kf
+                     >= t.max_frames_between_kf)
+        if (not t.only_tracking
+                and (not mapper_busy or c1a_force)
+                and t._need_new_keyframe(
+                    f, fake_cur, (close_tracked, close_untracked),
+                    fid=inflight.fid)):
+            self._create_keyframe(inflight, R, tt, fake_cur)
+            self._publish(fake_cur)
+            self._results_since_refresh = 0
+        else:
+            self._results_since_refresh += 1
+            # periodic candidate refresh: covisibility voting with lag
+            if (self._results_since_refresh >= 5
+                    or inflight.published.version != self.map.version):
+                self._publish(fake_cur)
+                self._results_since_refresh = 0
+
+    def _create_keyframe(self, inflight: _InFlight, R, tt,
+                         cur_obs: np.ndarray):
+        """Download the frame once, insert KF + depth points, run local
+        mapping (reference: src/Tracking.cc:1360-1445 + LocalMapping)."""
+        t = self.tracker
+        f = inflight.frame
+        host = jax.device_get((f.xy, f.ur, f.depth, f.desc, f.level,
+                               f.angle, f.valid, f.inv_sigma2))
+        hf = frame_mod.Frame(
+            xy=host[0], ur=host[1], depth=host[2], desc=host[3],
+            level=host[4], angle=host[5], valid=host[6],
+            inv_sigma2=host[7], response=host[0][:, 0], R=R, t=tt)
+        obs = t._create_points_from_depth(
+            hf, cur_obs, max_new=self.cfg.tracking.vo_depth_points)
+        kid = self.map.add_keyframe(hf, inflight.ts, inflight.fid, obs)
+        t._finish_new_points(kid, obs)
+        t.ref_kf = kid
+        t.last_kf_id = kid
+        t.last_frame_id_of_kf = inflight.fid
+        if self.local_mapper is not None:
+            self.local_mapper.process_keyframe(kid)
+        if self.dense_mapper is not None and inflight.rgb is not None:
+            # dense mapping needs the full depth image: recover it from
+            # the frame ring buffer by frame id
+            for rfid, _, _, rdepth, _ in self._ring:
+                if rfid == inflight.fid:
+                    self.dense_mapper.insert_keyframe(kid, inflight.rgb,
+                                                      rdepth)
+                    break

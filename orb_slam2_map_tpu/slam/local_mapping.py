@@ -148,25 +148,17 @@ class LocalMapper:
                   & self.map.kf_kp_valid[pad_arr])
         free2s[len(nbs):] = False  # padded entries produce no matches
 
-        # all pairs in ONE dispatch + ONE download
-        res = mapping_kernels.triangulate_pairs_batch(
-            self.cfg,
-            jnp.asarray(R1), jnp.asarray(t1),
-            jnp.asarray(self.map.kf_xy[kid]),
-            jnp.asarray(self.map.kf_level[kid]),
-            jnp.asarray(self.map.kf_desc[kid]),
-            jnp.asarray(free1),
-            jnp.asarray(self.map.kf_ur[kid]),
-            jnp.asarray(self.map.kf_R[pad_arr]),
-            jnp.asarray(self.map.kf_t[pad_arr]),
-            jnp.asarray(self.map.kf_xy[pad_arr]),
-            jnp.asarray(self.map.kf_level[pad_arr]),
-            jnp.asarray(self.map.kf_desc[pad_arr]),
-            jnp.asarray(free2s),
-            jnp.asarray(self.map.kf_ur[pad_arr]))
-        ok_b = np.asarray(res.ok)
-        col_b = np.asarray(res.kp2_idx)
-        X_b = np.asarray(res.X)
+        # all pairs in ONE dispatch; ONE batched upload + ONE download
+        # (each individual transfer pays a host<->device round trip on
+        # networked TPU — batching turns 14 RTTs into 1)
+        args = jax.device_put((
+            R1, t1, self.map.kf_xy[kid], self.map.kf_level[kid],
+            self.map.kf_desc[kid], free1, self.map.kf_ur[kid],
+            self.map.kf_R[pad_arr], self.map.kf_t[pad_arr],
+            self.map.kf_xy[pad_arr], self.map.kf_level[pad_arr],
+            self.map.kf_desc[pad_arr], free2s, self.map.kf_ur[pad_arr]))
+        res = mapping_kernels.triangulate_pairs_batch(self.cfg, *args)
+        ok_b, col_b, X_b = jax.device_get((res.ok, res.kp2_idx, res.X))
 
         new_all = []
         for j, nb in enumerate(nbs):
@@ -215,16 +207,37 @@ class LocalMapper:
         own = own[self.map.mp_exists[own]]
         if len(own) == 0:
             return
-        self._fuse_into_many(targets, own)
-        # reverse direction: neighbors' points into this KF
-        nb_points = []
-        for nb in targets:
-            o = self.map.kf_obs[nb]
-            nb_points.append(o[o >= 0])
-        if nb_points:
-            cand = np.unique(np.concatenate(nb_points))
-            cand = cand[self.map.mp_exists[cand]]
-            self._fuse_into(kid, cand)
+        # both fuse directions dispatched together: the forward batch and
+        # the reverse projection share ONE download round trip (their
+        # device programs are independent; only the host bookkeeping is
+        # ordered, as in the reference's sequential Fuse calls)
+        nb_points = [self.map.kf_obs[nb][self.map.kf_obs[nb] >= 0]
+                     for nb in targets]
+        cand = np.unique(np.concatenate(nb_points)) if nb_points else \
+            np.asarray([], dtype=np.int64)
+        cand = cand[self.map.mp_exists[cand]]
+        fwd = self._fuse_into_many_dispatch(targets, own)
+        rev = self._fuse_into_dispatch(kid, cand)
+        pulls = []
+        if fwd is not None:
+            pulls.extend([fwd[2].ok, fwd[2].kp_idx])
+        if rev is not None:
+            pulls.extend([rev[2].ok, rev[2].kp_idx])
+        host = jax.device_get(pulls)
+        if fwd is not None:
+            targets_f, mids_p, _ = fwd[0], fwd[1], fwd[2]
+            keep_b, kp_b = host[0], host[1]
+            valid_f = fwd[3]
+            for j, nb in enumerate(targets_f):
+                keep = keep_b[j] & valid_f
+                rows = np.nonzero(keep)[0]
+                self._apply_fuse(int(nb), mids_p, rows, kp_b[j][rows])
+        if rev is not None:
+            off = 2 if fwd is not None else 0
+            ok_np, kp_np = host[off], host[off + 1]
+            keep = ok_np & rev[3]
+            rows = np.nonzero(keep)[0]
+            self._apply_fuse(kid, rev[1], rows, kp_np[rows])
         # descriptors/normals + covisibility changed
         self.map.update_point_stats(
             own, np.asarray(self.cfg.orb.scale_factors, np.float32))
@@ -232,11 +245,13 @@ class LocalMapper:
 
     FUSE_TARGET_CAP = 24  # fixed vmap width for the forward fuse batch
 
-    def _fuse_into_many(self, targets: List[int], mids: np.ndarray):
-        """Project one candidate set into MANY keyframes with one
-        dispatch + one download (forward SearchInNeighbors direction)."""
+    def _fuse_into_many_dispatch(self, targets: List[int],
+                                 mids: np.ndarray):
+        """Dispatch the forward fuse batch (one candidate set into MANY
+        keyframes); returns (targets, mids_p, device result, valid) for a
+        caller-batched download."""
         if len(mids) == 0 or len(targets) == 0:
-            return
+            return None
         T = self.FUSE_TARGET_CAP
         targets = list(targets)[:T]
         pad_ids = targets + [targets[-1]] * (T - len(targets))
@@ -249,31 +264,20 @@ class LocalMapper:
         mids_p = np.concatenate([mids, np.zeros(pad, dtype=mids.dtype)])
         valid = np.concatenate([np.ones(len(mids), bool),
                                 np.zeros(pad, bool)])
-        res = mapping_kernels.fuse_match_batch(
-            self.cfg,
-            jnp.asarray(self.map.kf_R[pad_arr]),
-            jnp.asarray(self.map.kf_t[pad_arr]),
-            jnp.asarray(self.map.mp_pos[mids_p]),
-            jnp.asarray(self.map.mp_desc[mids_p]),
-            jnp.asarray(self.map.mp_min_dist[mids_p]),
-            jnp.asarray(self.map.mp_max_dist[mids_p]),
-            jnp.asarray(valid),
-            jnp.asarray(self.map.kf_xy[pad_arr]),
-            jnp.asarray(self.map.kf_level[pad_arr]),
-            jnp.asarray(kf_valids),
-            jnp.asarray(self.map.kf_desc[pad_arr]))
-        keep_b = np.asarray(res.ok)
-        kp_b = np.asarray(res.kp_idx)
-        for j, nb in enumerate(targets):
-            keep = keep_b[j] & valid
-            rows = np.nonzero(keep)[0]
-            self._apply_fuse(int(nb), mids_p, rows, kp_b[j][rows])
+        args = jax.device_put((
+            self.map.kf_R[pad_arr], self.map.kf_t[pad_arr],
+            self.map.mp_pos[mids_p], self.map.mp_desc[mids_p],
+            self.map.mp_min_dist[mids_p], self.map.mp_max_dist[mids_p],
+            valid, self.map.kf_xy[pad_arr], self.map.kf_level[pad_arr],
+            kf_valids, self.map.kf_desc[pad_arr]))
+        res = mapping_kernels.fuse_match_batch(self.cfg, *args)
+        return targets, mids_p, res, valid
 
-    def _fuse_into(self, kid: int, mids: np.ndarray):
-        """Project `mids` into KF `kid`; bind unbound keypoint hits, merge
-        conflicting ones (reference Fuse, src/ORBmatcher.cc:825-975)."""
+    def _fuse_into_dispatch(self, kid: int, mids: np.ndarray):
+        """Dispatch projection of `mids` into KF `kid` (reference Fuse,
+        src/ORBmatcher.cc:825-975); download is the caller's."""
         if len(mids) == 0:
-            return
+            return None
         # pad candidates to a power-of-two bucket: jit compiles per
         # bucket size instead of per call
         C = mapping_kernels.bucket_size(len(mids))
@@ -281,22 +285,26 @@ class LocalMapper:
         mids_p = np.concatenate([mids, np.zeros(pad, dtype=mids.dtype)])
         valid = np.concatenate([np.ones(len(mids), bool),
                                 np.zeros(pad, bool)])
-        res = mapping_kernels.fuse_match(
-            self.cfg,
-            jnp.asarray(self.map.kf_R[kid]), jnp.asarray(self.map.kf_t[kid]),
-            jnp.asarray(self.map.mp_pos[mids_p]),
-            jnp.asarray(self.map.mp_desc[mids_p]),
-            jnp.asarray(self.map.mp_min_dist[mids_p]),
-            jnp.asarray(self.map.mp_max_dist[mids_p]),
-            jnp.asarray(valid),
-            jnp.asarray(self.map.kf_xy[kid]),
-            jnp.asarray(self.map.kf_level[kid]),
-            jnp.asarray(self.map.kf_kp_valid[kid]),
-            jnp.asarray(self.map.kf_desc[kid]))
-        keep = np.asarray(res.ok) & valid
+        args = jax.device_put((
+            self.map.kf_R[kid], self.map.kf_t[kid],
+            self.map.mp_pos[mids_p], self.map.mp_desc[mids_p],
+            self.map.mp_min_dist[mids_p], self.map.mp_max_dist[mids_p],
+            valid, self.map.kf_xy[kid], self.map.kf_level[kid],
+            self.map.kf_kp_valid[kid], self.map.kf_desc[kid]))
+        res = mapping_kernels.fuse_match(self.cfg, *args)
+        return kid, mids_p, res, valid
+
+    def _fuse_into(self, kid: int, mids: np.ndarray):
+        """Synchronous fuse of `mids` into KF `kid` (kept for loop
+        closing's SearchAndFuse, reference src/LoopClosing.cc:585-611)."""
+        d = self._fuse_into_dispatch(kid, mids)
+        if d is None:
+            return
+        _, mids_p, res, valid = d
+        ok_np, kp_np = jax.device_get((res.ok, res.kp_idx))
+        keep = ok_np & valid
         rows = np.nonzero(keep)[0]
-        kp = np.asarray(res.kp_idx)[rows]
-        self._apply_fuse(kid, mids_p, rows, kp)
+        self._apply_fuse(kid, mids_p, rows, kp_np[rows])
 
     def _apply_fuse(self, kid: int, mids: np.ndarray, rows: np.ndarray,
                     kp: np.ndarray):
@@ -367,19 +375,22 @@ class LocalMapper:
             w = mstore.covis[fix_ids][:, free_ids].sum(axis=1)
             fix_ids = fix_ids[np.argsort(-w, kind="stable")[:BA_MAX_FIXED]]
 
-        prob = self._build_problem(free_ids, fix_ids, mids)
+        prob_np = self._build_problem(free_ids, fix_ids, mids)
+        prob = jax.device_put(prob_np)          # ONE host->device transfer
         res = local_ba.local_ba_jit(self.cfg.camera, prob)
+        R_f, t_f, X_f, inl_f = jax.device_get(   # ONE device->host transfer
+            (res.R_free, res.t_free, res.X, res.inlier_free))
 
         # write back poses + points
         K = len(free_ids)
-        mstore.kf_R[free_ids] = np.asarray(res.R_free)[:K]
-        mstore.kf_t[free_ids] = np.asarray(res.t_free)[:K]
+        mstore.kf_R[free_ids] = R_f[:K]
+        mstore.kf_t[free_ids] = t_f[:K]
         P = len(mids)
-        mstore.mp_pos[mids] = np.asarray(res.X)[:P]
+        mstore.mp_pos[mids] = X_f[:P]
 
         # remove outlier observations (reference: :714-748)
-        inl_free = np.asarray(res.inlier_free)[:P, :K]
-        mask_free = np.asarray(prob.mask_free)[:P, :K]
+        inl_free = inl_f[:P, :K]
+        mask_free = prob_np.mask_free[:P, :K]
         bad = mask_free & ~inl_free
         for j, k in enumerate(free_ids):
             rows = np.nonzero(bad[:, j])[0]
@@ -439,14 +450,10 @@ class LocalMapper:
         point_valid[:n_pts] = True
 
         return local_ba.BAProblem(
-            R_free=jnp.asarray(R_free), t_free=jnp.asarray(t_free),
-            R_fix=jnp.asarray(R_fix), t_fix=jnp.asarray(t_fix),
-            X=jnp.asarray(X), cam_valid=jnp.asarray(cam_valid),
-            point_valid=jnp.asarray(point_valid),
-            uv_free=jnp.asarray(uv_f), ur_free=jnp.asarray(ur_f),
-            inv_sigma2_free=jnp.asarray(iv_f), mask_free=jnp.asarray(m_f),
-            uv_fix=jnp.asarray(uv_x), ur_fix=jnp.asarray(ur_x),
-            inv_sigma2_fix=jnp.asarray(iv_x), mask_fix=jnp.asarray(m_x),
+            R_free=R_free, t_free=t_free, R_fix=R_fix, t_fix=t_fix,
+            X=X, cam_valid=cam_valid, point_valid=point_valid,
+            uv_free=uv_f, ur_free=ur_f, inv_sigma2_free=iv_f, mask_free=m_f,
+            uv_fix=uv_x, ur_fix=ur_x, inv_sigma2_fix=iv_x, mask_fix=m_x,
         )
 
     # ------------------------------------------------------------------
@@ -456,10 +463,26 @@ class LocalMapper:
         a local KF whose map points are >= 90% seen by >= 3 other KFs at
         the same or finer scale is removed."""
         lcfg = self.cfg.local_mapping
-        for k in self.map.covisible_keyframes(kid):
-            k = int(k)
-            if k == self.map.kf_origin or k == kid:
-                continue
+        targets = [int(k) for k in self.map.covisible_keyframes(kid)
+                   if int(k) != self.map.kf_origin and int(k) != kid]
+        if not targets:
+            return
+        # level-of-point lookup per existing KF: lvl[j, mid] = pyramid
+        # level at which KF j observes mid (127 = not observed). One
+        # vectorized scatter replaces the reference's nested per-point
+        # observer walk (src/LocalMapping.cc:650-686).
+        kfs_alive = self.map.keyframe_ids()
+        lvl = np.full((len(kfs_alive), self.map.M), 127, dtype=np.int8)
+        obs_all = self.map.kf_obs[kfs_alive]                  # [Ka, N]
+        sel = obs_all >= 0
+        rows = np.broadcast_to(np.arange(len(kfs_alive))[:, None],
+                               obs_all.shape)[sel]
+        lvl[rows, obs_all[sel]] = np.minimum(
+            self.map.kf_level[kfs_alive][sel], 126).astype(np.int8)
+        row_of = np.full(self.map.K, -1)
+        row_of[kfs_alive] = np.arange(len(kfs_alive))
+
+        for k in targets:
             obs = self.map.kf_obs[k]
             kp = np.nonzero(obs >= 0)[0]
             mids = obs[kp]
@@ -467,16 +490,15 @@ class LocalMapper:
             kp, mids = kp[alive], mids[alive]
             if len(mids) == 0:
                 continue
-            levels = self.map.kf_level[k][kp]
-            redundant = 0
-            # vectorized: for each point, count observers at <= level+1
-            obs_count = self.map.mp_obs_count[mids]
-            candidates = obs_count >= lcfg.kf_culling_min_obs + 1
-            for i in np.nonzero(candidates)[0]:
-                kfs, idxs = self.map.point_observers(int(mids[i]))
-                sel = kfs != k
-                finer = self.map.kf_level[kfs[sel], idxs[sel]] <= levels[i] + 1
-                if finer.sum() >= lcfg.kf_culling_min_obs:
-                    redundant += 1
+            levels = self.map.kf_level[k][kp]                 # [P]
+            cand = self.map.mp_obs_count[mids] >= lcfg.kf_culling_min_obs + 1
+            # observers at same-or-finer scale (level <= level_k + 1)
+            lv = lvl[:, mids].astype(np.int32)                # [Ka, P]
+            finer = (lv <= levels[None, :] + 1)
+            finer[row_of[k]] = False                          # exclude self
+            redundant = int((cand
+                             & (finer.sum(axis=0)
+                                >= lcfg.kf_culling_min_obs)).sum())
             if redundant > lcfg.kf_culling_redundancy * len(mids):
                 self.map.erase_keyframe(k)
+                lvl[row_of[k]] = 127

@@ -29,6 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import SystemConfig
+from ..geom import se3
 from ..optim import pose_opt
 from . import frame as frame_mod
 from . import search
@@ -106,11 +107,11 @@ class LocalMapStepResult(NamedTuple):
     n_close_untracked: jnp.ndarray  # int32
 
 
-@functools.partial(jax.jit, static_argnums=(0, 11))
+@functools.partial(jax.jit, static_argnums=(0,))
 def local_map_step(cfg: SystemConfig, f: "frame_mod.Frame",
                    mp_pos, mp_desc, mp_normal, mp_min_dist, mp_max_dist,
                    mids, mp_valid, cur_obs_in, R_t_inits,
-                   th: float) -> LocalMapStepResult:
+                   th) -> LocalMapStepResult:
     """Track-local-map phase (reference: src/Tracking.cc:1214-1258):
     gather the local points from the device-resident map columns,
     projection-match them into the frame's unbound keypoints, and run
@@ -178,6 +179,151 @@ def pack_frame_result(mm: MotionMatchResult, lm: LocalMapStepResult):
     return jnp.concatenate([head,
                             lm.cur_obs.astype(jnp.float32),
                             lm.visible.astype(jnp.float32)])
+
+
+class TrackCarry(NamedTuple):
+    """Device-resident tracking recurrence. Lives on the TPU across
+    frames — in steady state nothing here is ever downloaded, which is
+    what lets the pipeline run faster than the host<->device round-trip
+    latency (the reference's per-frame mutex'd CPU state, re-imagined as
+    a jit carry)."""
+
+    R: jnp.ndarray           # [3,3] last frame's optimized Tcw
+    t: jnp.ndarray           # [3]
+    Rv: jnp.ndarray          # [3,3] velocity: Tcw_cur * Twc_last
+    tv: jnp.ndarray          # [3]
+    cur_obs: jnp.ndarray     # [N] int32 map-point id per last-frame kp
+    last_xy: jnp.ndarray     # [N,2] last frame keypoints (undistorted)
+    last_ur: jnp.ndarray     # [N]
+    last_depth: jnp.ndarray  # [N]
+    last_desc: jnp.ndarray   # [N,8] uint32
+    last_level: jnp.ndarray  # [N] int32
+    last_angle: jnp.ndarray  # [N]
+    last_valid: jnp.ndarray  # [N] bool
+    ok: jnp.ndarray          # [] bool — last frame tracked successfully
+
+
+# packed layout offsets (host side unpacks with these)
+PACK_SCALARS = 8  # [n_mm, n_inl_mm, n_inl_final, n_close_tr, n_close_untr,
+                  #  ok, n_mm_map, n_vo]
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def fused_frame_step(cfg: SystemConfig, carry: TrackCarry,
+                     gray_u8, depth_f32, ctrl,
+                     mp_pos, mp_desc, mp_normal, mp_min_dist, mp_max_dist,
+                     mp_alive, mids, mp_valid):
+    """ONE device program per steady-state frame: build frame -> motion
+    model (with temporal VO depth points, reference src/Tracking.cc:
+    1085-1149 UpdateLastFrame) -> pose opt -> local-map match -> final
+    pose opt -> velocity update. Consumes and produces the device carry;
+    the only per-frame host traffic is the image upload and an
+    asynchronous download of the packed result.
+
+    ctrl: f32[4] = [th_local, min_inliers, use_motion(0/1), pad].
+    mids [C] indexes the published map columns; mp_alive masks points
+    culled since the column upload."""
+    cam = cfg.camera
+    tcfg = cfg.tracking
+    f = frame_mod._build_rgbd(cfg, gray_u8.astype(jnp.float32), depth_f32)
+    N = f.capacity
+
+    # ---- motion-model candidate set: bound map points + temporal VO ----
+    mp_ids = jnp.clip(carry.cur_obs, 0, None)
+    alive = (carry.cur_obs >= 0) & mp_alive[mp_ids]
+    pos_bound = mp_pos[mp_ids]
+
+    # temporal VO points from last frame's depth (the reference injects
+    # the ~100 closest depth points into the last frame before motion
+    # matching; they constrain the pose but carry no map binding)
+    from ..geom import camera as cam_mod
+    Rwc, twc = se3.inverse(carry.R, carry.t)
+    Xc = cam_mod.unproject(cam, carry.last_xy,
+                           jnp.maximum(carry.last_depth, 1e-6))
+    Xw_vo = se3.act(Rwc, twc, Xc)
+    has_d = (carry.last_depth > 0) & carry.last_valid & ~alive
+    th_depth_m = cam.bf / cam.fx * cam.th_depth
+    close = carry.last_depth < th_depth_m
+    depth_key = jnp.where(has_d, carry.last_depth, jnp.inf)
+    rank = jnp.argsort(jnp.argsort(depth_key))
+    vo_valid = has_d & (close | (rank < tcfg.vo_depth_points))
+
+    last_xw = jnp.where(alive[:, None], pos_bound, Xw_vo)
+    last_src = alive | vo_valid
+
+    R_pred = carry.Rv @ carry.R
+    t_pred = carry.Rv @ carry.t + carry.tv
+    use_motion = ctrl[2] > 0.5
+    R_pred = jnp.where(use_motion, R_pred, carry.R)
+    t_pred = jnp.where(use_motion, t_pred, carry.t)
+
+    th = float(tcfg.search_window_mono)
+    m_narrow = search.search_by_projection_last_frame(
+        cfg, R_pred, t_pred, last_xw, last_src, th,
+        carry.last_level, carry.last_ur, carry.last_desc, f,
+        carry.last_angle)
+    m_wide = search.search_by_projection_last_frame(
+        cfg, R_pred, t_pred, last_xw, last_src, 2.0 * th,
+        carry.last_level, carry.last_ur, carry.last_desc, f,
+        carry.last_angle)
+    use_wide = m_narrow.ok.sum() < tcfg.motion_model_min_matches
+    kp_idx = jnp.where(use_wide, m_wide.kp_idx, m_narrow.kp_idx)
+    mok = jnp.where(use_wide, m_wide.ok, m_narrow.ok)
+
+    R0s = jnp.stack([R_pred, carry.R])
+    t0s = jnp.stack([t_pred, carry.t])
+    res_mm = pose_opt.pose_optimize_multi(
+        cfg.camera, R0s, t0s, last_xw, f.xy[kp_idx], f.ur[kp_idx],
+        f.inv_sigma2[kp_idx], mok)
+    inl_mm = res_mm.inliers & mok
+    # bindings for map-backed rows only (VO rows stay -1)
+    idx_safe = jnp.where(inl_mm & alive, kp_idx, N)
+    cur_obs_mm = jnp.full(N, -1, jnp.int32).at[idx_safe].set(
+        carry.cur_obs.astype(jnp.int32), mode="drop")
+    n_mm_map = (inl_mm & alive).sum()
+    n_vo = (inl_mm & vo_valid).sum()
+
+    # ---- local-map phase ----
+    R0s2 = jnp.stack([res_mm.R, carry.R])
+    t0s2 = jnp.stack([res_mm.t, carry.t])
+    lm = local_map_step(cfg, f, mp_pos, mp_desc, mp_normal, mp_min_dist,
+                        mp_max_dist, mids,
+                        mp_valid & mp_alive[mids], cur_obs_mm,
+                        (R0s2, t0s2), ctrl[0])
+
+    ok = ((mok.sum() >= tcfg.motion_model_min_matches)
+          & (inl_mm.sum() >= 10)
+          & (lm.n_inliers >= ctrl[1].astype(jnp.int32)))
+
+    # velocity update; freeze pose (zero velocity) on failure so the
+    # supervisor can intervene from a sane state
+    R_new = jnp.where(ok, lm.R, carry.R)
+    t_new = jnp.where(ok, lm.t, carry.t)
+    Rv = jnp.where(ok, R_new @ carry.R.T, jnp.eye(3, dtype=jnp.float32))
+    tv = jnp.where(ok, t_new - (R_new @ carry.R.T) @ carry.t,
+                   jnp.zeros(3, jnp.float32))
+
+    new_carry = TrackCarry(
+        R=R_new, t=t_new, Rv=Rv, tv=tv,
+        cur_obs=jnp.where(ok, lm.cur_obs, -1),
+        last_xy=f.xy, last_ur=f.ur, last_depth=f.depth, last_desc=f.desc,
+        last_level=f.level, last_angle=f.angle, last_valid=f.valid,
+        ok=ok)
+
+    head = jnp.concatenate([
+        jnp.stack([mok.sum().astype(jnp.float32),
+                   inl_mm.sum().astype(jnp.float32),
+                   lm.n_inliers.astype(jnp.float32),
+                   lm.n_close_tracked.astype(jnp.float32),
+                   lm.n_close_untracked.astype(jnp.float32),
+                   ok.astype(jnp.float32),
+                   n_mm_map.astype(jnp.float32),
+                   n_vo.astype(jnp.float32)]),
+        lm.R.reshape(-1), lm.t,
+    ])
+    packed = jnp.concatenate([head, lm.cur_obs.astype(jnp.float32),
+                              lm.visible.astype(jnp.float32)])
+    return new_carry, packed, f
 
 
 @functools.partial(jax.jit, static_argnums=(0,))

@@ -33,10 +33,10 @@ class ProjMatches(NamedTuple):
                            # mp_visible counters, ref src/Tracking.cc:1470)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 8))
+@functools.partial(jax.jit, static_argnums=(0,))
 def search_by_projection_local(cfg: SystemConfig, R, t,
                                mp_pos, mp_desc, mp_normal,
-                               mp_min_dist, mp_max_dist, th: float,
+                               mp_min_dist, mp_max_dist, th,
                                mp_valid, f: Frame,
                                kp_taken) -> ProjMatches:
     """Local-map points -> current frame (reference: src/Tracking.cc:

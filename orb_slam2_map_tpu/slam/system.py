@@ -83,6 +83,37 @@ class SLAMSystem:
                                             daemon=True)
             self._running = True
             self._worker.start()
+        self._pipeline = None
+
+    # ------------------------------------------------------------------
+    # pipelined (asynchronous) tracking
+    # ------------------------------------------------------------------
+
+    @property
+    def pipeline(self):
+        """Lazy AsyncRGBDPipeline: device-resident tracking recurrence
+        with background supervision (slam/async_pipeline.py). Use
+        track_rgbd_async + flush for maximum throughput; track_rgbd stays
+        the synchronous reference-compatible path."""
+        if self._pipeline is None:
+            from .async_pipeline import AsyncRGBDPipeline
+
+            self._pipeline = AsyncRGBDPipeline(
+                self.cfg, self.tracker, local_mapper=self.local_mapper,
+                dense_mapper=self.dense_mapper)
+        return self._pipeline
+
+    def track_rgbd_async(self, timestamp: float, gray: np.ndarray,
+                         depth: np.ndarray,
+                         rgb: Optional[np.ndarray] = None) -> None:
+        """Non-blocking frame submission (poses are recovered from the
+        trajectory log; results lag by the pipeline depth)."""
+        assert self.sensor == Sensor.RGBD
+        self.pipeline.submit(timestamp, gray, depth, rgb=rgb)
+
+    def flush(self):
+        if self._pipeline is not None:
+            self._pipeline.flush()
 
     # ------------------------------------------------------------------
 
@@ -153,6 +184,8 @@ class SLAMSystem:
             self.place_db.clear()
 
     def shutdown(self):
+        if self._pipeline is not None:
+            self._pipeline.shutdown()
         if self._worker is not None:
             self._running = False
             self._worker.join(timeout=5.0)

@@ -542,9 +542,11 @@ class Tracker:
     # ------------------------------------------------------------------
 
     def _need_new_keyframe(self, f: Frame, cur_obs,
-                           close_counts=None) -> bool:
+                           close_counts=None, fid=None) -> bool:
         """(reference: src/Tracking.cc:1261-1358)."""
-        if self.frame_id - self.last_reloc_frame_id < self.max_frames_between_kf \
+        if fid is None:
+            fid = self.frame_id
+        if fid - self.last_reloc_frame_id < self.max_frames_between_kf \
                 and self.map.n_keyframes() > self.max_frames_between_kf:
             return False
         n_kfs = self.map.n_keyframes()
@@ -570,7 +572,7 @@ class Tracker:
         # reference: thRefRatio = 0.75, 0.4 only while the map has a single
         # KF (src/Tracking.cc:1317-1324)
         th_ref_ratio = 0.4 if n_kfs < 2 else 0.75
-        frames_since_kf = self.frame_id - self.last_frame_id_of_kf
+        frames_since_kf = fid - self.last_frame_id_of_kf
         c1a = frames_since_kf >= self.max_frames_between_kf
         c1b = frames_since_kf >= self.cfg.tracking.min_frames_between_kf
         c1c = (self.matches_inliers < ref_matches * 0.25) or need_close
@@ -612,8 +614,16 @@ class Tracker:
         n_take = max(int(close.sum()), min(max_new, len(idxs)))
         take = idxs[:n_take]
 
-        Xw, _ = frame_mod.unproject_valid(self.cfg, f)
-        Xw = np.asarray(Xw)
+        # numpy unprojection (host-side; avoids a device round trip for
+        # what is a [N,3] affine map — reference: src/Frame.cc:664-678)
+        cam = self.cfg.camera
+        xy = np.asarray(f.xy)
+        z = np.maximum(depth, 1e-6)
+        Xc = np.stack([(xy[:, 0] - cam.cx) / cam.fx * z,
+                       (xy[:, 1] - cam.cy) / cam.fy * z, z], axis=1)
+        R = np.asarray(f.R)
+        t = np.asarray(f.t)
+        Xw = (Xc - t[None, :]) @ R  # R^T (Xc - t), row-vector form
         mids = self.map.alloc_points(len(take))
         self.map.mp_pos[mids] = Xw[take]
         self.map.mp_desc[mids] = np.asarray(f.desc)[take]

@@ -21,3 +21,27 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+
+import pytest  # noqa: E402
+
+from orb_slam2_map_tpu.config import (ORBConfig, SystemConfig,  # noqa: E402
+                                      TrackingConfig)
+from orb_slam2_map_tpu.geom.camera import PinholeCamera  # noqa: E402
+from orb_slam2_map_tpu.io.synthetic import SyntheticWorld  # noqa: E402
+
+
+def small_config():
+    """320x240 / 4-level config so integration tests compile fast."""
+    cam = PinholeCamera(fx=258.0, fy=258.0, cx=159.5, cy=119.5,
+                        width=320, height=240, bf=20.0, fps=30.0,
+                        th_depth=50.0)
+    orb = ORBConfig(n_features=400, n_levels=4, max_keypoints=512)
+    tracking = TrackingConfig(min_init_stereo_points=200)
+    return SystemConfig(camera=cam, orb=orb, tracking=tracking)
+
+
+@pytest.fixture(scope="module")
+def small_world():
+    cfg = small_config()
+    return SyntheticWorld(cam=cfg.camera), cfg

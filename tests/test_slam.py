@@ -51,7 +51,7 @@ class TestRGBDPipeline:
         ts_est, Twc_est = slam.trajectory()
         pos_est = np.asarray([T[:3, 3] for T in Twc_est])
         ate = evaluate.ate_rmse(ts_est, pos_est, ts, Twc[:, :3, 3])
-        assert ate < 0.03, f"ATE {ate*100:.1f}cm exceeds 3cm"
+        assert ate < 0.02, f"ATE {ate*100:.1f}cm exceeds the 2cm target"
 
     def test_map_grows(self, tracked):
         slam, _, _, _ = tracked
