@@ -259,15 +259,17 @@ def global_ba_inner(cam, prob, iters, cg_iters, use_huber,
 # host-side assembly from the map store
 # ---------------------------------------------------------------------------
 
-def run_global_ba(cfg, map_store, fixed_kf: int, iters: int = 20):
-    """Assemble a GBAProblem from the map, run, write back (staged
-    write-back discipline: results only touch the store at the end,
-    mirroring mTcwGBA, reference: src/Optimizer.cc:121-135, 207-235)."""
+def build_gba_problem(cfg, map_store, fixed_kf: int):
+    """Assemble a GBAProblem snapshot from the map. Returns
+    (problem, kfs, mids) or None if the map is too small — the snapshot
+    is what lets global BA run on a background thread while the map
+    keeps evolving (reference mTcwGBA staging,
+    src/Optimizer.cc:121-135, 207-235)."""
     m = map_store
     kfs = m.keyframe_ids()
     mids = m.point_ids()
     if len(kfs) < 2 or len(mids) < 10:
-        return
+        return None
     K = len(kfs)
     kf_slot = np.full(m.K, -1, np.int64)
     kf_slot[kfs] = np.arange(K)
@@ -288,7 +290,7 @@ def run_global_ba(cfg, map_store, fixed_kf: int, iters: int = 20):
         urs.append(m.kf_ur[k][kp])
         ivs.append(inv_sigma2_tab[m.kf_level[k][kp]])
     if not cam_i:
-        return
+        return None
     cam_i = np.concatenate(cam_i)
     pnt_i = np.concatenate(pnt_i)
     uvs = np.concatenate(uvs)
@@ -318,7 +320,17 @@ def run_global_ba(cfg, map_store, fixed_kf: int, iters: int = 20):
         obs_valid=jnp.asarray(
             np.arange(O_pad) < O),
     )
+    return prob, kfs, mids
+
+
+def run_global_ba(cfg, map_store, fixed_kf: int, iters: int = 20):
+    """Synchronous GBA: assemble, run, write back."""
+    built = build_gba_problem(cfg, map_store, fixed_kf)
+    if built is None:
+        return
+    prob, kfs, mids = built
     res = global_ba(cfg.camera, prob, iters)
+    m = map_store
     m.kf_R[kfs] = np.asarray(res.R)
     m.kf_t[kfs] = np.asarray(res.t)
     m.mp_pos[mids] = np.asarray(res.X)

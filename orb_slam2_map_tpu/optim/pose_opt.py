@@ -45,36 +45,52 @@ def _lm_rounds(cam, R0, t0, X, uv, ur, inv_sigma2, active0,
     is_stereo = ur >= 0
     delta2 = jnp.where(is_stereo, res.CHI2_STEREO, res.CHI2_MONO)
 
+    def normal_eq(R, t):
+        """One projection + weighted normal equations at (R, t)."""
+        e, Xc = res.project_residual(cam, R, t, X, uv, ur)
+        chi2 = jnp.einsum("ni,ni->n", e, e) * inv_sigma2
+        w = jnp.where(active_ref[0], inv_sigma2, 0.0)
+        if use_huber_ref[0]:
+            w = w * res.huber_weight(chi2, delta2)
+        w = jnp.where(Xc[..., 2] > 1e-6, w, 0.0)
+        Jpt = res.proj_jacobian_point(cam, Xc, is_stereo)
+        J = res.pose_jacobian_from_point_jac(Jpt, Xc)       # [N, 3, 6]
+        H = jnp.einsum("nri,n,nrj->ij", J, w, J)
+        b = -jnp.einsum("nri,n,nr->i", J, w, e)
+        chi_tot = jnp.sum(jnp.einsum("ni,ni->n", e, e) * w)
+        return H, b, chi_tot
+
+    active_ref = [None]
+    use_huber_ref = [None]
+
     def lm_iterations(R, t, active, use_huber, n_iters):
+        """Classic LM with carried normal equations: ONE projection /
+        Jacobian evaluation per iteration (the textbook restructuring of
+        the evaluate-step-then-re-evaluate loop; halves the per-iteration
+        device work vs the naive form while accepting/rejecting steps on
+        exactly the same decrease test)."""
+        active_ref[0] = active
+        use_huber_ref[0] = use_huber
+        H0, b0, chi0 = normal_eq(R, t)
+
         def body(_, carry):
-            R, t, lam = carry
-            e, Xc = res.project_residual(cam, R, t, X, uv, ur)
-            chi2 = jnp.einsum("ni,ni->n", e, e) * inv_sigma2
-            w = jnp.where(active, inv_sigma2, 0.0)
-            if use_huber:
-                w = w * res.huber_weight(chi2, delta2)
-            # depth must stay positive; kill obs behind camera this iter
-            w = jnp.where(Xc[..., 2] > 1e-6, w, 0.0)
-            Jpt = res.proj_jacobian_point(cam, Xc, is_stereo)
-            J = res.pose_jacobian_from_point_jac(Jpt, Xc)   # [N, 3, 6]
-            H = jnp.einsum("nri,n,nrj->ij", J, w, J)
-            b = -jnp.einsum("nri,n,nr->i", J, w, e)
+            R, t, chi_best, H, b, lam = carry
             Haug = H + lam * jnp.diag(jnp.diagonal(H) + 1e-9)
             dx = jnp.linalg.solve(Haug, b)
             dR, dt = se3.se3_exp(dx)
-            R_new, t_new = se3.compose(dR, dt, R, t)
-            # accept if total weighted chi2 decreased
-            e_new, _ = res.project_residual(cam, R_new, t_new, X, uv, ur)
-            chi_old = jnp.sum(jnp.einsum("ni,ni->n", e, e) * w)
-            chi_new = jnp.sum(jnp.einsum("ni,ni->n", e_new, e_new) * w)
-            ok = (chi_new < chi_old) & jnp.all(jnp.isfinite(dx))
-            R = jnp.where(ok, R_new, R)
-            t = jnp.where(ok, t_new, t)
-            lam = jnp.where(ok, lam * 0.5, lam * 4.0)
-            lam = jnp.clip(lam, 1e-9, 1e6)
-            return R, t, lam
+            R_try, t_try = se3.compose(dR, dt, R, t)
+            H_try, b_try, chi_try = normal_eq(R_try, t_try)
+            ok = (chi_try < chi_best) & jnp.all(jnp.isfinite(dx))
+            R = jnp.where(ok, R_try, R)
+            t = jnp.where(ok, t_try, t)
+            chi_best = jnp.where(ok, chi_try, chi_best)
+            H = jnp.where(ok, H_try, H)
+            b = jnp.where(ok, b_try, b)
+            lam = jnp.clip(jnp.where(ok, lam * 0.5, lam * 4.0), 1e-9, 1e6)
+            return R, t, chi_best, H, b, lam
 
-        R, t, _ = jax.lax.fori_loop(0, n_iters, body, (R, t, jnp.float32(1e-3)))
+        R, t, _, _, _, _ = jax.lax.fori_loop(
+            0, n_iters, body, (R, t, chi0, H0, b0, jnp.float32(1e-3)))
         return R, t
 
     R, t, active = R0, t0, active0

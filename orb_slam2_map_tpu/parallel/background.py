@@ -1,0 +1,186 @@
+"""Background global bundle adjustment with staged write-back.
+
+Replaces the reference's transient GBA thread + mTcwGBA/mPosGBA staging
+(reference: src/LoopClosing.cc:571-575 launch, :643-744
+RunGlobalBundleAdjustment, :412-421 mbStopGBA abort;
+src/Optimizer.cc:121-135 staged vertex read-back):
+
+  * The optimizer runs on a SNAPSHOT of the map (keyframe poses, point
+    positions, observation lists copied at launch), in iteration chunks
+    on a worker thread, so tracking and local mapping never stall.
+  * An abort flag is checked between chunks — a newly detected loop
+    kills the stale run exactly as the reference does.
+  * On completion the results are STAGED; the map owner (the async
+    pipeline's supervisor, or whatever thread orchestrates the stages)
+    calls poll() to merge them: keyframes that existed at launch get
+    their optimized poses, keyframes added DURING the run are corrected
+    through the spanning tree (T_child = T_child<-parent * T_parent^corr,
+    reference :673-696), and map points added during the run move with
+    their reference keyframe (:698-733).
+"""
+
+from __future__ import annotations
+
+import threading
+from typing import Optional
+
+import numpy as np
+
+from ..optim import global_ba as gba
+
+
+def _se3_mat(R: np.ndarray, t: np.ndarray) -> np.ndarray:
+    T = np.eye(4, dtype=np.float32)
+    T[:3, :3] = R
+    T[:3, 3] = t
+    return T
+
+
+def _se3_inv(T: np.ndarray) -> np.ndarray:
+    Ti = np.eye(4, dtype=np.float32)
+    Ti[:3, :3] = T[:3, :3].T
+    Ti[:3, 3] = -T[:3, :3].T @ T[:3, 3]
+    return Ti
+
+
+class BackgroundGBA:
+    """One in-flight global BA at a time (matching the reference, which
+    aborts a running GBA before starting the next)."""
+
+    CHUNK = 20  # LM iterations per abort-check (coarser than the
+                # reference's per-iteration mbStopGBA check: restarting
+                # the LM damping schedule between small chunks measurably
+                # hurts convergence, and a full 20-iteration device run
+                # is itself only seconds)
+
+    def __init__(self, cfg, map_store):
+        self.cfg = cfg
+        self.map = map_store
+        self._thread: Optional[threading.Thread] = None
+        self._abort = threading.Event()
+        self._staged = None           # (kfs, R, t, mids, X, snap)
+        self._lock = threading.Lock()
+
+    # ------------------------------------------------------------------
+
+    def running(self) -> bool:
+        return self._thread is not None and self._thread.is_alive()
+
+    def launch(self, iters: int = 20) -> bool:
+        """Snapshot the map and start the worker. Caller must own the
+        map (reference launches from CorrectLoop, which holds the map
+        lock, src/LoopClosing.cc:575)."""
+        if self.running():
+            return False
+        built = gba.build_gba_problem(self.cfg, self.map,
+                                      fixed_kf=self.map.kf_origin)
+        if built is None:
+            return False
+        prob, kfs, mids = built
+        snap = {
+            "kf_R": self.map.kf_R[kfs].copy(),
+            "kf_t": self.map.kf_t[kfs].copy(),
+            "kf_set": set(int(k) for k in kfs),
+            "mid_set": set(int(m) for m in mids),
+        }
+        self._abort.clear()
+        self._staged = None
+        self._thread = threading.Thread(
+            target=self._run, args=(prob, kfs, mids, snap, iters),
+            daemon=True)
+        self._thread.start()
+        return True
+
+    def abort(self):
+        """(reference: mbStopGBA, src/LoopClosing.cc:412-421)."""
+        self._abort.set()
+
+    def _run(self, prob, kfs, mids, snap, iters):
+        done = 0
+        while done < iters:
+            n = min(self.CHUNK, iters - done)
+            res = gba.global_ba(self.cfg.camera, prob, n)
+            prob = prob._replace(R=res.R, t=res.t, X=res.X)
+            done += n
+            if self._abort.is_set():
+                return
+        import jax
+
+        R, t, X = jax.device_get((prob.R, prob.t, prob.X))
+        with self._lock:
+            self._staged = (kfs, R, t, mids, X, snap)
+
+    # ------------------------------------------------------------------
+
+    def poll(self) -> bool:
+        """Merge staged results into the map if ready. Must be called by
+        the map owner. Returns True if a merge happened."""
+        with self._lock:
+            staged = self._staged
+            self._staged = None
+        if staged is None:
+            return False
+        kfs, R, t, mids, X, snap = staged
+        m = self.map
+
+        # pre-merge poses (the reference's mTcwBefGBA,
+        # src/LoopClosing.cc:689-695): children and points created during
+        # the run are positioned relative to these, NOT the launch-time
+        # snapshot — local BA may have moved poses while GBA ran
+        corr_Twc = {}
+        old_Tcw = {}
+        for i, k in enumerate(kfs):
+            corr_Twc[int(k)] = _se3_inv(_se3_mat(R[i], t[i]))
+            old_Tcw[int(k)] = _se3_mat(m.kf_R[k], m.kf_t[k])
+
+        # 1) keyframes that existed at launch: staged poses
+        alive = m.kf_exists[kfs]
+        m.kf_R[kfs[alive]] = R[alive]
+        m.kf_t[kfs[alive]] = t[alive]
+
+        # 2) keyframes added during the run: spanning-tree correction
+        #    T_child^corr = (T_child * T_parent^-1) * T_parent^corr
+        #    (reference: src/LoopClosing.cc:673-696)
+        new_kfs = [int(k) for k in m.keyframe_ids()
+                   if int(k) not in snap["kf_set"]]
+        # process in id order so corrected parents chain forward
+        for k in sorted(new_kfs):
+            parent = int(m.parent[k])
+            while parent >= 0 and parent not in old_Tcw and \
+                    parent not in corr_Twc:
+                parent = int(m.parent[parent])
+            if parent < 0 or parent not in corr_Twc:
+                continue
+            T_child = _se3_mat(m.kf_R[k], m.kf_t[k])
+            if parent in old_Tcw:
+                T_cp = T_child @ _se3_inv(old_Tcw[parent])
+            else:
+                T_cp = T_child  # parent itself new; already corrected
+            T_new = T_cp @ _se3_inv(corr_Twc[parent])
+            m.kf_R[k] = T_new[:3, :3]
+            m.kf_t[k] = T_new[:3, 3]
+            corr_Twc[int(k)] = _se3_inv(T_new)
+            old_Tcw[int(k)] = T_child if parent in old_Tcw else T_child
+
+        # 3) points: snapshot points take optimized positions; points
+        #    added during the run move with their reference keyframe
+        #    (reference: src/LoopClosing.cc:698-733)
+        mids = np.asarray(mids)
+        palive = m.mp_exists[mids]
+        m.mp_pos[mids[palive]] = X[palive]
+        new_mids = np.nonzero(m.mp_exists)[0]
+        new_mids = np.asarray([mm for mm in new_mids
+                               if int(mm) not in snap["mid_set"]])
+        for mm in new_mids:
+            ref = int(m.mp_first_kf[mm])
+            if ref < 0 or ref not in old_Tcw:
+                continue
+            Xh = np.append(m.mp_pos[mm], 1.0).astype(np.float32)
+            Xc = old_Tcw[ref] @ Xh
+            m.mp_pos[mm] = (corr_Twc[ref] @ Xc)[:3]
+        m.version += 1
+        return True
+
+    def wait(self, timeout: Optional[float] = None):
+        if self._thread is not None:
+            self._thread.join(timeout)

@@ -109,15 +109,38 @@ class Vocabulary:
         s = v.sum()
         return v / s if s > 0 else v
 
+    def bow_sparse(self, desc: np.ndarray,
+                   valid: Optional[np.ndarray] = None
+                   ) -> Tuple[np.ndarray, np.ndarray]:
+        """Sparse L1-normalized tf-idf BoW: (sorted word ids [W],
+        weights [W]). Scales to the reference's 1M-word ORBvoc where a
+        dense histogram would not (W <= n_features regardless of
+        vocabulary size)."""
+        w, _ = self.transform(desc, valid)
+        ww = w[w >= 0]
+        words, cnt = np.unique(ww, return_counts=True)
+        vals = cnt.astype(np.float32) * self.weights[words]
+        s = vals.sum()
+        if s > 0:
+            vals = vals / s
+        return words.astype(np.int64), vals.astype(np.float32)
+
     @staticmethod
     def score_l1(v1: np.ndarray, v2: np.ndarray) -> float:
         """DBoW2 L1 score: 1 - 0.5 |v1 - v2|_1, in [0, 1]."""
         return float(1.0 - 0.5 * np.abs(v1 - v2).sum())
 
-
-@functools.lru_cache(maxsize=4)
-def _device_tables(vocab_id, k, L):
-    return None  # placeholder — tables built in _transform_device closure
+    @staticmethod
+    def score_sparse(w1, v1, w2, v2) -> float:
+        """L1 score on sparse BoW pairs: for L1-normalized vectors,
+        1 - 0.5*|v1-v2|_1 == sum over SHARED words of min(a, b) — the
+        inverted-file-friendly form DBoW2 exploits
+        (Thirdparty/DBoW2 L1Scoring)."""
+        c1, i1, i2 = np.intersect1d(w1, w2, assume_unique=True,
+                                    return_indices=True)
+        if len(c1) == 0:
+            return 0.0
+        return float(np.minimum(v1[i1], v2[i2]).sum())
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2, 3))
@@ -212,8 +235,11 @@ def _kmedians(sub: np.ndarray, k: int, rng, iters: int) -> np.ndarray:
     cents = [sub[rng.integers(len(sub))]]
     for _ in range(k - 1):
         d = hamming_np(sub, np.asarray(cents)).min(axis=1).astype(np.float64)
-        p = d / max(d.sum(), 1e-9)
-        cents.append(sub[rng.choice(len(sub), p=p)])
+        s = d.sum()
+        if s > 0:
+            cents.append(sub[rng.choice(len(sub), p=d / s)])
+        else:  # all descriptors identical to a centroid: uniform pick
+            cents.append(sub[rng.integers(len(sub))])
     cents = np.asarray(cents, dtype=np.uint32)
     for _ in range(iters):
         a = np.argmin(hamming_np(sub, cents), axis=1)

@@ -32,6 +32,7 @@ from __future__ import annotations
 import collections
 import queue
 import threading
+import time as _time
 from dataclasses import dataclass
 from typing import Deque, Dict, List, Optional, Tuple
 
@@ -81,7 +82,7 @@ class AsyncRGBDPipeline:
 
     def __init__(self, cfg: SystemConfig, tracker: Tracker,
                  local_mapper=None, dense_mapper=None,
-                 max_in_flight: int = 24, ring: int = 64):
+                 max_in_flight: int = 10, ring: int = 64):
         self.cfg = cfg
         self.tracker = tracker
         self.map = tracker.map
@@ -100,8 +101,11 @@ class AsyncRGBDPipeline:
 
         self._fetch_q: "queue.Queue[Optional[_InFlight]]" = queue.Queue()
         self._result_q: "queue.Queue" = queue.Queue()
-        self._map_lock = threading.Lock()   # host-map ownership
+        # host-map ownership; reentrant: recovery holds it across the
+        # sync replay and re-enters via _enter_async/_publish
+        self._map_lock = threading.RLock()
         self._results_since_refresh = 0
+        self._recovered_to = -1
         self._pending_results = 0
         self._pending_cv = threading.Condition()
         self._running = True
@@ -109,8 +113,17 @@ class AsyncRGBDPipeline:
                                          daemon=True)
         self._supervisor = threading.Thread(target=self._supervise_loop,
                                             daemon=True)
+        # local mapping on its own thread (the reference's LocalMapping
+        # thread, src/System.cc:109-110); shares the map via the RLock
+        # with device round trips outside lock-held sections
+        self._kf_q: "queue.Queue" = queue.Queue()
+        self._mapper = threading.Thread(target=self._mapper_loop,
+                                        daemon=True)
+        if self.local_mapper is not None:
+            self.local_mapper.lock = self._map_lock
         self._fetcher.start()
         self._supervisor.start()
+        self._mapper.start()
 
     # ------------------------------------------------------------------
     # main-thread API
@@ -160,10 +173,12 @@ class AsyncRGBDPipeline:
                                     published=pub, rgb=rgb))
 
     def flush(self) -> None:
-        """Drain all in-flight frames and their supervisor processing."""
+        """Drain all in-flight frames, their supervision, and any queued
+        local-mapping work."""
         with self._pending_cv:
             while self._pending_results > 0:
                 self._pending_cv.wait(timeout=0.1)
+        self._kf_q.join()
         if self._failed_at is not None:
             self._recover()
 
@@ -172,8 +187,10 @@ class AsyncRGBDPipeline:
         self._running = False
         self._fetch_q.put(None)
         self._result_q.put(None)
+        self._kf_q.put(None)
         self._fetcher.join(timeout=5.0)
         self._supervisor.join(timeout=5.0)
+        self._mapper.join(timeout=5.0)
 
     # ------------------------------------------------------------------
     # mode transitions
@@ -241,20 +258,26 @@ class AsyncRGBDPipeline:
         with self._pending_cv:
             while self._pending_results > 0:
                 self._pending_cv.wait(timeout=0.1)
+        failed = self._failed_at
         self._failed_at = None
         self._mode = "sync"
         with self._map_lock:
             t = self.tracker
             t.state = TrackingState.LOST
             t.velocity = None
-            latest = self._ring[-1] if self._ring else None
-            if latest is not None:
-                fid, ts, gray, depth, rgb = latest
+            # re-track the buffered frames from the failure point through
+            # the synchronous state machine (reloc / re-init / ref-KF
+            # fallbacks all available there), then resume the pipeline
+            start = max(failed if failed is not None else 0,
+                        self._recovered_to + 1)
+            replay = [fr for fr in self._ring if fr[0] >= start][-12:]
+            for fid, ts, gray, depth, rgb in replay:
+                self._recovered_to = fid
                 t.frame_id = fid - 1
                 t.track_rgbd(ts, gray, depth, rgb=rgb)
-                if (t.state == TrackingState.OK
-                        and t.velocity is not None):
-                    self._enter_async()
+            if (t.state == TrackingState.OK
+                    and t.velocity is not None):
+                self._enter_async()
 
     # ------------------------------------------------------------------
     # fetcher thread: batched device->host downloads
@@ -280,7 +303,25 @@ class AsyncRGBDPipeline:
                 self._result_q.put((b, a))
 
     # ------------------------------------------------------------------
-    # supervisor thread: single writer of the host map
+    # mapper thread: the reference's LocalMapping loop
+    # ------------------------------------------------------------------
+
+    def _mapper_loop(self):
+        while self._running:
+            kid = self._kf_q.get()
+            if kid is None:
+                return
+            try:
+                if self.local_mapper is not None:
+                    self.local_mapper.process_keyframe(kid)
+            except Exception:  # pragma: no cover
+                import traceback
+                traceback.print_exc()
+            finally:
+                self._kf_q.task_done()
+
+    # ------------------------------------------------------------------
+    # supervisor thread: result consumption + keyframe policy
     # ------------------------------------------------------------------
 
     def _supervise_loop(self):
@@ -303,6 +344,11 @@ class AsyncRGBDPipeline:
 
     def _process_result(self, inflight: _InFlight, packed: np.ndarray):
         t = self.tracker
+        # merge any finished background global BA (staged write-back,
+        # reference: src/LoopClosing.cc:643-744) — we own the map here
+        lc = getattr(self.local_mapper, "loop_closer", None)
+        if lc is not None and lc.poll_background():
+            self._publish(None)
         n_mm, n_inl_mm, n_inl_final = packed[0], packed[1], packed[2]
         close_tracked, close_untracked = int(packed[3]), int(packed[4])
         ok = packed[5] > 0.5
@@ -349,7 +395,9 @@ class AsyncRGBDPipeline:
         f = inflight.frame
         fake_cur = np.where(self.map.mp_exists[np.clip(cur_obs, 0, None)]
                             & (cur_obs >= 0), cur_obs, -1)
-        mapper_busy = self._result_q.qsize() > self.max_in_flight // 2
+        # mapping backpressure (reference: Tracking.cc:1340-1350 gates
+        # keyframe insertion on LocalMapping idleness)
+        mapper_busy = self._kf_q.unfinished_tasks > 0
         c1a_force = (inflight.fid - t.last_frame_id_of_kf
                      >= t.max_frames_between_kf)
         if (not t.only_tracking
@@ -388,7 +436,7 @@ class AsyncRGBDPipeline:
         t.last_kf_id = kid
         t.last_frame_id_of_kf = inflight.fid
         if self.local_mapper is not None:
-            self.local_mapper.process_keyframe(kid)
+            self._kf_q.put(kid)   # hand to the mapper thread
         if self.dense_mapper is not None and inflight.rgb is not None:
             # dense mapping needs the full depth image: recover it from
             # the frame ring buffer by frame id

@@ -12,6 +12,7 @@ matching the reference's semantics without data races by construction.
 
 from __future__ import annotations
 
+import contextlib
 from typing import List, Optional
 
 import jax
@@ -41,6 +42,12 @@ class LocalMapper:
         self.recent_points: List[np.ndarray] = []  # queues for culling
         self.recent_kf: List[int] = []
         self.enabled = True
+        # host-map lock for concurrent operation (the async pipeline sets
+        # this to its map RLock so mapping can run on its own thread; the
+        # expensive device round trips happen OUTSIDE lock-held sections,
+        # the mutations inside — the fine-grained analogue of the
+        # reference's per-phase mutexing, src/LocalMapping.cc:128-698)
+        self.lock = contextlib.nullcontext()
 
     # ------------------------------------------------------------------
 
@@ -51,20 +58,24 @@ class LocalMapper:
         if not self.enabled:
             return
         with profiling.stage("local_mapping"):
-            self._process_new_keyframe(kid)
-            self._cull_map_points(kid)
-            if self.map.n_keyframes() > 1:
+            with self.lock:
+                self._process_new_keyframe(kid)
+                self._cull_map_points(kid)
+                n_kfs = self.map.n_keyframes()
+            if n_kfs > 1:
                 with profiling.stage("local_mapping/triangulate"):
                     self._create_new_map_points(kid)
                 with profiling.stage("local_mapping/fuse"):
                     self._fuse_neighbors(kid)
-            if self.map.n_keyframes() > 2:
+            if n_kfs > 2:
                 with profiling.stage("local_mapping/local_ba"):
                     self._local_bundle_adjustment(kid)
-            self._cull_keyframes(kid)
+            with self.lock:
+                self._cull_keyframes(kid)
         if self.loop_closer is not None:
             with profiling.stage("loop_closing"):
-                self.loop_closer.process_keyframe(kid)
+                with self.lock:
+                    self.loop_closer.process_keyframe(kid)
 
     # ------------------------------------------------------------------
 
@@ -117,74 +128,80 @@ class LocalMapper:
         lcfg = self.cfg.local_mapping
         cam = self.cfg.camera
         n_neighbors = lcfg.triangulation_neighbors_stereo
-        neighbors = self.map.covisible_keyframes(kid, top_n=n_neighbors)
-        if len(neighbors) == 0:
-            return
-        R1 = self.map.kf_R[kid]
-        t1 = self.map.kf_t[kid]
-        c1 = -R1.T @ t1
-        obs1 = self.map.kf_obs[kid]
-        free1 = (obs1 < 0) & self.map.kf_kp_valid[kid]
-        sigma2 = np.asarray(self.cfg.orb.level_sigma2, dtype=np.float32)
+        with self.lock:   # consistent read of the candidate geometry
+            neighbors = self.map.covisible_keyframes(kid,
+                                                     top_n=n_neighbors)
+            if len(neighbors) == 0:
+                return
+            R1 = self.map.kf_R[kid].copy()
+            t1 = self.map.kf_t[kid].copy()
+            c1 = -R1.T @ t1
+            obs1 = self.map.kf_obs[kid]
+            free1 = (obs1 < 0) & self.map.kf_kp_valid[kid]
 
-        # build the neighbor batch (baseline-gated), padded to a fixed
-        # width so the vmapped program compiles once
-        B = n_neighbors
-        nbs = []
-        for nb in neighbors:
-            c2 = -self.map.kf_R[nb].T @ self.map.kf_t[nb]
-            if np.linalg.norm(c2 - c1) < cam.baseline:  # ref :252-261
-                continue
-            if ((self.map.kf_obs[nb] < 0)
-                    & self.map.kf_kp_valid[nb]).sum() > 0:
-                nbs.append(int(nb))
-        if free1.sum() == 0 or len(nbs) == 0:
-            self.map.update_connections(kid)
-            return
-        nbs = nbs[:B]
-        pad_ids = nbs + [nbs[-1]] * (B - len(nbs))
-        pad_arr = np.asarray(pad_ids)
-        free2s = ((self.map.kf_obs[pad_arr] < 0)
-                  & self.map.kf_kp_valid[pad_arr])
-        free2s[len(nbs):] = False  # padded entries produce no matches
+            # build the neighbor batch (baseline-gated), padded to a
+            # fixed width so the vmapped program compiles once
+            B = n_neighbors
+            nbs = []
+            for nb in neighbors:
+                c2 = -self.map.kf_R[nb].T @ self.map.kf_t[nb]
+                if np.linalg.norm(c2 - c1) < cam.baseline:  # ref :252-261
+                    continue
+                if ((self.map.kf_obs[nb] < 0)
+                        & self.map.kf_kp_valid[nb]).sum() > 0:
+                    nbs.append(int(nb))
+            if free1.sum() == 0 or len(nbs) == 0:
+                self.map.update_connections(kid)
+                return
+            nbs = nbs[:B]
+            pad_ids = nbs + [nbs[-1]] * (B - len(nbs))
+            pad_arr = np.asarray(pad_ids)
+            free2s = ((self.map.kf_obs[pad_arr] < 0)
+                      & self.map.kf_kp_valid[pad_arr])
+            free2s[len(nbs):] = False  # padded entries: no matches
 
-        # all pairs in ONE dispatch; ONE batched upload + ONE download
-        # (each individual transfer pays a host<->device round trip on
-        # networked TPU — batching turns 14 RTTs into 1)
-        args = jax.device_put((
-            R1, t1, self.map.kf_xy[kid], self.map.kf_level[kid],
-            self.map.kf_desc[kid], free1, self.map.kf_ur[kid],
-            self.map.kf_R[pad_arr], self.map.kf_t[pad_arr],
-            self.map.kf_xy[pad_arr], self.map.kf_level[pad_arr],
-            self.map.kf_desc[pad_arr], free2s, self.map.kf_ur[pad_arr]))
-        res = mapping_kernels.triangulate_pairs_batch(self.cfg, *args)
+            # all pairs in ONE dispatch; ONE batched upload + ONE
+            # download (each individual transfer pays a host<->device
+            # round trip on networked TPU)
+            args = jax.device_put((
+                R1, t1, self.map.kf_xy[kid], self.map.kf_level[kid],
+                self.map.kf_desc[kid], free1, self.map.kf_ur[kid],
+                self.map.kf_R[pad_arr], self.map.kf_t[pad_arr],
+                self.map.kf_xy[pad_arr], self.map.kf_level[pad_arr],
+                self.map.kf_desc[pad_arr], free2s,
+                self.map.kf_ur[pad_arr]))
+            res = mapping_kernels.triangulate_pairs_batch(self.cfg, *args)
+        # device round trip runs WITHOUT the map lock
         ok_b, col_b, X_b = jax.device_get((res.ok, res.kp2_idx, res.X))
 
-        new_all = []
-        for j, nb in enumerate(nbs):
-            ok = ok_b[j] & free1   # drop keypoints consumed by earlier pairs
-            rows = np.nonzero(ok)[0]
-            if len(rows) == 0:
-                continue
-            cols = col_b[j][rows]
-            X = X_b[j][rows]
-            mids = self.map.alloc_points(len(rows))
-            self.map.mp_pos[mids] = X
-            self.map.mp_desc[mids] = self.map.kf_desc[kid][rows]
-            self.map.mp_level[mids] = self.map.kf_level[kid][rows]
-            self.map.mp_first_kf[mids] = kid
-            self.map.set_observations_bulk(kid, rows, mids)
-            self.map.set_observations_bulk(nb, cols, mids)
-            free1[rows] = False
-            new_all.append(mids)
-        if new_all:
-            mids = np.concatenate(new_all)
-            self.map.update_point_stats(
-                mids, np.asarray(self.cfg.orb.scale_factors, np.float32))
-            if len(self.recent_points):
-                self.recent_points[-1] = np.concatenate(
-                    [self.recent_points[-1], mids])
-        self.map.update_connections(kid)
+        with self.lock:
+            new_all = []
+            for j, nb in enumerate(nbs):
+                # drop keypoints consumed by earlier pairs or bound since
+                ok = ok_b[j] & free1 & (self.map.kf_obs[kid] < 0)
+                rows = np.nonzero(ok)[0]
+                if len(rows) == 0:
+                    continue
+                cols = col_b[j][rows]
+                X = X_b[j][rows]
+                mids = self.map.alloc_points(len(rows))
+                self.map.mp_pos[mids] = X
+                self.map.mp_desc[mids] = self.map.kf_desc[kid][rows]
+                self.map.mp_level[mids] = self.map.kf_level[kid][rows]
+                self.map.mp_first_kf[mids] = kid
+                self.map.set_observations_bulk(kid, rows, mids)
+                self.map.set_observations_bulk(nb, cols, mids)
+                free1[rows] = False
+                new_all.append(mids)
+            if new_all:
+                mids = np.concatenate(new_all)
+                self.map.update_point_stats(
+                    mids, np.asarray(self.cfg.orb.scale_factors,
+                                     np.float32))
+                if len(self.recent_points):
+                    self.recent_points[-1] = np.concatenate(
+                        [self.recent_points[-1], mids])
+            self.map.update_connections(kid)
 
     # ------------------------------------------------------------------
 
@@ -194,54 +211,57 @@ class LocalMapper:
         src/ORBmatcher.cc:825-975 Fuse): project this KF's points into
         each neighbor; merge matches that hit a keypoint already bound to
         another point (keep the more-observed one)."""
-        first_ring = self.map.covisible_keyframes(kid, top_n=10)
-        targets = list(first_ring)
-        seen = set(targets) | {kid}
-        for k in first_ring:
-            for nb in self.map.covisible_keyframes(k, top_n=5):
-                if int(nb) not in seen:
-                    targets.append(int(nb))
-                    seen.add(int(nb))
-        obs_self = self.map.kf_obs[kid]
-        own = np.unique(obs_self[obs_self >= 0])
-        own = own[self.map.mp_exists[own]]
-        if len(own) == 0:
-            return
-        # both fuse directions dispatched together: the forward batch and
-        # the reverse projection share ONE download round trip (their
-        # device programs are independent; only the host bookkeeping is
-        # ordered, as in the reference's sequential Fuse calls)
-        nb_points = [self.map.kf_obs[nb][self.map.kf_obs[nb] >= 0]
-                     for nb in targets]
-        cand = np.unique(np.concatenate(nb_points)) if nb_points else \
-            np.asarray([], dtype=np.int64)
-        cand = cand[self.map.mp_exists[cand]]
-        fwd = self._fuse_into_many_dispatch(targets, own)
-        rev = self._fuse_into_dispatch(kid, cand)
+        with self.lock:
+            first_ring = self.map.covisible_keyframes(kid, top_n=10)
+            targets = list(first_ring)
+            seen = set(targets) | {kid}
+            for k in first_ring:
+                for nb in self.map.covisible_keyframes(k, top_n=5):
+                    if int(nb) not in seen:
+                        targets.append(int(nb))
+                        seen.add(int(nb))
+            obs_self = self.map.kf_obs[kid]
+            own = np.unique(obs_self[obs_self >= 0])
+            own = own[self.map.mp_exists[own]]
+            if len(own) == 0:
+                return
+            # both fuse directions dispatched together: the forward batch
+            # and the reverse projection share ONE download round trip
+            # (their device programs are independent; only the host
+            # bookkeeping is ordered, as in the reference's sequential
+            # Fuse calls)
+            nb_points = [self.map.kf_obs[nb][self.map.kf_obs[nb] >= 0]
+                         for nb in targets]
+            cand = np.unique(np.concatenate(nb_points)) if nb_points else \
+                np.asarray([], dtype=np.int64)
+            cand = cand[self.map.mp_exists[cand]]
+            fwd = self._fuse_into_many_dispatch(targets, own)
+            rev = self._fuse_into_dispatch(kid, cand)
         pulls = []
         if fwd is not None:
             pulls.extend([fwd[2].ok, fwd[2].kp_idx])
         if rev is not None:
             pulls.extend([rev[2].ok, rev[2].kp_idx])
-        host = jax.device_get(pulls)
-        if fwd is not None:
-            targets_f, mids_p, _ = fwd[0], fwd[1], fwd[2]
-            keep_b, kp_b = host[0], host[1]
-            valid_f = fwd[3]
-            for j, nb in enumerate(targets_f):
-                keep = keep_b[j] & valid_f
+        host = jax.device_get(pulls)   # no map lock during the RTT
+        with self.lock:
+            if fwd is not None:
+                targets_f, mids_p = fwd[0], fwd[1]
+                keep_b, kp_b = host[0], host[1]
+                valid_f = fwd[3]
+                for j, nb in enumerate(targets_f):
+                    keep = keep_b[j] & valid_f
+                    rows = np.nonzero(keep)[0]
+                    self._apply_fuse(int(nb), mids_p, rows, kp_b[j][rows])
+            if rev is not None:
+                off = 2 if fwd is not None else 0
+                ok_np, kp_np = host[off], host[off + 1]
+                keep = ok_np & rev[3]
                 rows = np.nonzero(keep)[0]
-                self._apply_fuse(int(nb), mids_p, rows, kp_b[j][rows])
-        if rev is not None:
-            off = 2 if fwd is not None else 0
-            ok_np, kp_np = host[off], host[off + 1]
-            keep = ok_np & rev[3]
-            rows = np.nonzero(keep)[0]
-            self._apply_fuse(kid, rev[1], rows, kp_np[rows])
-        # descriptors/normals + covisibility changed
-        self.map.update_point_stats(
-            own, np.asarray(self.cfg.orb.scale_factors, np.float32))
-        self.map.update_connections(kid)
+                self._apply_fuse(kid, rev[1], rows, kp_np[rows])
+            # descriptors/normals + covisibility changed
+            self.map.update_point_stats(
+                own, np.asarray(self.cfg.orb.scale_factors, np.float32))
+            self.map.update_connections(kid)
 
     FUSE_TARGET_CAP = 24  # fixed vmap width for the forward fuse batch
 
@@ -352,6 +372,41 @@ class LocalMapper:
         """Assemble the dense padded BA problem and run the jitted solver
         (reference: src/Optimizer.cc:453-778)."""
         mstore = self.map
+        with self.lock:
+            built = self._build_ba_inputs(kid)
+        if built is None:
+            return
+        free_ids, fix_ids, mids, prob_np = built
+        prob = jax.device_put(prob_np)          # ONE host->device transfer
+        res = local_ba.local_ba_jit(self.cfg.camera, prob)
+        R_f, t_f, X_f, inl_f = jax.device_get(   # ONE device->host, no lock
+            (res.R_free, res.t_free, res.X, res.inlier_free))
+
+        with self.lock:
+            # write back poses + points
+            K = len(free_ids)
+            mstore.kf_R[free_ids] = R_f[:K]
+            mstore.kf_t[free_ids] = t_f[:K]
+            P = len(mids)
+            alive = mstore.mp_exists[mids]
+            mstore.mp_pos[mids[alive]] = X_f[:P][alive]
+
+            # remove outlier observations (reference: :714-748)
+            inl_free = inl_f[:P, :K]
+            mask_free = prob_np.mask_free[:P, :K]
+            bad = mask_free & ~inl_free
+            for j, k in enumerate(free_ids):
+                rows = np.nonzero(bad[:, j])[0]
+                if len(rows) == 0:
+                    continue
+                bad_mids = mids[rows]
+                sel = np.isin(mstore.kf_obs[k], bad_mids)
+                mstore.kf_obs[k][sel] = -1
+                mstore._rebuild_incidence_row(k)
+            self.map.version += 1
+
+    def _build_ba_inputs(self, kid: int):
+        mstore = self.map
         neighbors = mstore.covisible_keyframes(kid)
         free_ids = np.concatenate([[kid], neighbors])[:BA_MAX_FREE]
         # never move the map origin (reference fixes KF id 0, :500)
@@ -376,31 +431,7 @@ class LocalMapper:
             fix_ids = fix_ids[np.argsort(-w, kind="stable")[:BA_MAX_FIXED]]
 
         prob_np = self._build_problem(free_ids, fix_ids, mids)
-        prob = jax.device_put(prob_np)          # ONE host->device transfer
-        res = local_ba.local_ba_jit(self.cfg.camera, prob)
-        R_f, t_f, X_f, inl_f = jax.device_get(   # ONE device->host transfer
-            (res.R_free, res.t_free, res.X, res.inlier_free))
-
-        # write back poses + points
-        K = len(free_ids)
-        mstore.kf_R[free_ids] = R_f[:K]
-        mstore.kf_t[free_ids] = t_f[:K]
-        P = len(mids)
-        mstore.mp_pos[mids] = X_f[:P]
-
-        # remove outlier observations (reference: :714-748)
-        inl_free = inl_f[:P, :K]
-        mask_free = prob_np.mask_free[:P, :K]
-        bad = mask_free & ~inl_free
-        for j, k in enumerate(free_ids):
-            rows = np.nonzero(bad[:, j])[0]
-            if len(rows) == 0:
-                continue
-            bad_mids = mids[rows]
-            sel = np.isin(mstore.kf_obs[k], bad_mids)
-            mstore.kf_obs[k][sel] = -1
-            mstore._rebuild_incidence_row(k)
-        self.map.version += 1
+        return free_ids, fix_ids, mids, prob_np
 
     def _build_problem(self, free_ids, fix_ids, mids) -> local_ba.BAProblem:
         """Gather the dense [P, K] observation grids from the SoA map."""

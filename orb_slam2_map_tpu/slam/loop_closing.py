@@ -36,10 +36,26 @@ class LoopCloser:
         self.db = place_db
         self.fix_scale = fix_scale
         self.run_global_ba_flag = run_global_ba
+        self.background_gba = None   # set to a parallel.background.
+                                     # BackgroundGBA to run GBA off-thread
         self.consistent_groups: List[Tuple[Set[int], int]] = []
         self.last_loop_kf = 0
         self.loop_detected = False   # consumed by dense mapping rebuild
         self.n_loops_closed = 0
+
+    def enable_background_gba(self):
+        """Run post-loop global BA on a worker with staged write-back
+        (reference: src/LoopClosing.cc:571-575). The map owner must call
+        poll_background() regularly to merge finished results."""
+        from ..parallel.background import BackgroundGBA
+
+        self.background_gba = BackgroundGBA(self.cfg, self.map)
+        return self.background_gba
+
+    def poll_background(self) -> bool:
+        if self.background_gba is not None:
+            return self.background_gba.poll()
+        return False
 
     # ------------------------------------------------------------------
 
@@ -182,6 +198,14 @@ class LoopCloser:
         t_cw_corr = np.asarray(t_cw_corr)
         s_cw_corr = float(s_cw_corr)
 
+        # pre-correction pose snapshot: essential-graph edge measurements
+        # must reflect the uncorrected odometry (reference NonCorrectedSim3,
+        # src/LoopClosing.cc:445-470 + src/Optimizer.cc:849-947) — edges
+        # measured across the corrected/uncorrected boundary with mixed
+        # poses would encode the Sim3 discontinuity as a constraint
+        R_pre = m.kf_R.copy()
+        t_pre = m.kf_t.copy()
+
         # neighborhood of the current KF gets Sim3-propagated corrections
         neighborhood = [kid] + m.covisible_keyframes(kid).tolist()
         R_cw_old, t_cw_old = m.kf_R[kid].copy(), m.kf_t[kid].copy()
@@ -236,28 +260,47 @@ class LoopCloser:
         m.update_connections(loop_kf)
         self.map.loop_edges.append((kid, loop_kf))
 
-        self._optimize_essential_graph(kid, loop_kf, corrected)
+        self._optimize_essential_graph(kid, loop_kf, corrected,
+                                       R_pre, t_pre)
         if self.run_global_ba_flag:
-            self._global_bundle_adjustment(kid)
+            if self.background_gba is not None:
+                # abort a stale run (reference: src/LoopClosing.cc:409-427)
+                # and launch on the corrected map; results merge later via
+                # poll_background()
+                if self.background_gba.running():
+                    self.background_gba.abort()
+                    self.background_gba.wait(timeout=30.0)
+                self.background_gba.launch(iters=20)
+            else:
+                self._global_bundle_adjustment(kid)
         m.version += 1
 
     # ------------------------------------------------------------------
 
-    def _optimize_essential_graph(self, kid: int, loop_kf: int, corrected):
+    def _optimize_essential_graph(self, kid: int, loop_kf: int, corrected,
+                                  R_pre=None, t_pre=None):
         """(reference: src/Optimizer.cc:781-1044). Edges: spanning tree +
-        covisibility >= 100 + loop edges; loop KF held fixed."""
+        covisibility >= 100 + loop edges; loop KF held fixed.
+
+        Spanning-tree/covisibility edges are measured with the
+        PRE-correction poses (the reference's NonCorrectedSim3 map); loop
+        edges with the corrected ones — the optimizer then spreads the
+        loop discrepancy around the cycle instead of being told the
+        corrected configuration is already consistent."""
         m = self.map
         lcfg = self.cfg.loop_closing
         kfs = m.keyframe_ids()
         V = m.K
+        if R_pre is None:
+            R_pre, t_pre = m.kf_R, m.kf_t
 
         edges = []
         meas = []
 
-        def rel_se3(i, j):
-            """S_ji = T_jw * T_wi as a Sim3 with s=1 (current poses)."""
-            Rj, tj = m.kf_R[j], m.kf_t[j]
-            Ri, ti = m.kf_R[i], m.kf_t[i]
+        def rel_se3(i, j, Rsrc, tsrc):
+            """S_ji = T_jw * T_wi as a Sim3 with s=1."""
+            Rj, tj = Rsrc[j], tsrc[j]
+            Ri, ti = Rsrc[i], tsrc[i]
             Rji = Rj @ Ri.T
             tji = tj - Rji @ ti
             return Rji, tji, 1.0
@@ -268,13 +311,14 @@ class LoopCloser:
             p = int(m.parent[i])
             if p >= 0 and m.kf_exists[p]:
                 edges.append((i, p))
-                meas.append(rel_se3(i, p))
+                meas.append(rel_se3(i, p, R_pre, t_pre))
                 seen.add((min(i, p), max(i, p)))
         for (a, b) in m.loop_edges:
             if m.kf_exists[a] and m.kf_exists[b] and \
                     (min(a, b), max(a, b)) not in seen:
                 edges.append((a, b))
-                meas.append(rel_se3(a, b))
+                # loop constraint: measured with the CORRECTED poses
+                meas.append(rel_se3(a, b, m.kf_R, m.kf_t))
                 seen.add((min(a, b), max(a, b)))
         strong = np.argwhere(m.covis >= lcfg.essential_graph_min_weight)
         for a, b in strong:
@@ -282,7 +326,7 @@ class LoopCloser:
             if a < b and m.kf_exists[a] and m.kf_exists[b] \
                     and (a, b) not in seen:
                 edges.append((a, b))
-                meas.append(rel_se3(a, b))
+                meas.append(rel_se3(a, b, R_pre, t_pre))
                 seen.add((a, b))
         if not edges:
             return
@@ -290,7 +334,7 @@ class LoopCloser:
         E = len(edges)
         E_pad = max(64, 1 << (E - 1).bit_length())
         ij = np.zeros((E_pad, 2), np.int32)
-        Rm = np.tile(np.eye(3, np.float32), (E_pad, 1, 1)).astype(np.float32)
+        Rm = np.tile(np.eye(3, dtype=np.float32), (E_pad, 1, 1))
         tm = np.zeros((E_pad, 3), np.float32)
         sm = np.ones(E_pad, np.float32)
         ev = np.zeros(E_pad, bool)
@@ -337,10 +381,11 @@ class LoopCloser:
     # ------------------------------------------------------------------
 
     def _global_bundle_adjustment(self, kid: int):
-        """Global BA with staged write-back (reference: src/LoopClosing.cc:
-        643-744 RunGlobalBundleAdjustment). Runs synchronously here; the
-        spanning-tree correction for concurrently added KFs applies in
-        async mode (parallel/background.py)."""
+        """Synchronous global BA (reference: src/LoopClosing.cc:643-744
+        RunGlobalBundleAdjustment). The background variant with staged
+        write-back + spanning-tree correction of concurrently added KFs
+        lives in parallel/background.BackgroundGBA (enable via
+        enable_background_gba)."""
         from ..optim.global_ba import run_global_ba
 
         run_global_ba(self.cfg, self.map, fixed_kf=self.map.kf_origin,

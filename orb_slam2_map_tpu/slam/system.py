@@ -40,6 +40,8 @@ class SLAMSystem:
                  vocabulary=None, enable_loop_closing: bool = True,
                  enable_dense_mapping: bool = False,
                  async_mapping: bool = False,
+                 background_gba: bool = False,
+                 pipeline_depth: int = 10,
                  max_keyframes: int = 512, max_points: int = 1 << 16):
         from ..ops import orb
 
@@ -84,6 +86,9 @@ class SLAMSystem:
             self._running = True
             self._worker.start()
         self._pipeline = None
+        self._pipeline_depth = pipeline_depth
+        if background_gba and self.loop_closer is not None:
+            self.loop_closer.enable_background_gba()
 
     # ------------------------------------------------------------------
     # pipelined (asynchronous) tracking
@@ -98,9 +103,14 @@ class SLAMSystem:
         if self._pipeline is None:
             from .async_pipeline import AsyncRGBDPipeline
 
+            if (self.loop_closer is not None
+                    and self.loop_closer.background_gba is None):
+                # post-loop global BA must not stall the pipeline
+                self.loop_closer.enable_background_gba()
             self._pipeline = AsyncRGBDPipeline(
                 self.cfg, self.tracker, local_mapper=self.local_mapper,
-                dense_mapper=self.dense_mapper)
+                dense_mapper=self.dense_mapper,
+                max_in_flight=self._pipeline_depth)
         return self._pipeline
 
     def track_rgbd_async(self, timestamp: float, gray: np.ndarray,
@@ -147,6 +157,10 @@ class SLAMSystem:
         with profiling.stage("track_rgbd"):
             if self.place_db is not None:
                 self.place_db.maybe_refresh()
+            if self.loop_closer is not None:
+                # merge a finished background global BA (staged
+                # write-back, reference: src/LoopClosing.cc:643-744)
+                self.loop_closer.poll_background()
             return self.tracker.track_rgbd(timestamp, gray, depth, rgb=rgb)
 
     def track_monocular(self, timestamp: float, gray: np.ndarray):
