@@ -97,12 +97,79 @@ class SyntheticSource(FrameSource):
         return self.world.cam
 
 
-SOURCES = {"openni": OpenNISource, "synthetic": SyntheticSource}
+class FolderSource(FrameSource):
+    """File-backed live source: streams paired PNGs from <root>/rgb and
+    <root>/depth at sensor pace — a hardware-free stand-in with real
+    disk IO (also covers FIFO-style feeds where another process drops
+    frames into the folder)."""
+
+    def __init__(self, root: str, fps: float = 30.0,
+                 depth_factor: float = 5000.0, settings: str = None):
+        self.root = root
+        self.fps = fps
+        self.depth_factor = depth_factor
+        self.settings = settings
+        self._cam = None
+        self._files = []
+        self._i = 0
+        self._t0 = None
+
+    def open(self) -> bool:
+        rgb_dir = os.path.join(self.root, "rgb")
+        depth_dir = os.path.join(self.root, "depth")
+        if not (os.path.isdir(rgb_dir) and os.path.isdir(depth_dir)):
+            print(f"no rgb/ + depth/ under {self.root}")
+            return False
+        rgbs = sorted(os.listdir(rgb_dir))
+        depths = sorted(os.listdir(depth_dir))
+        self._files = list(zip(rgbs, depths))
+        if not self._files:
+            return False
+        if self.settings:
+            from orb_slam2_map_tpu.config import load_settings
+
+            cfg = load_settings(self.settings)
+            self._cam = cfg.camera
+            self.depth_factor = cfg.depth_map_factor
+        else:
+            from orb_slam2_map_tpu.config import SystemConfig
+
+            self._cam = SystemConfig().camera
+        self._t0 = time.perf_counter()
+        return True
+
+    def grab(self):
+        if self._i >= len(self._files):
+            return None
+        due = self._t0 + self._i / self.fps
+        now = time.perf_counter()
+        if now < due:
+            time.sleep(due - now)
+        from orb_slam2_map_tpu.io.tum import _read_image, to_grayscale
+
+        rname, dname = self._files[self._i]
+        rgb = _read_image(os.path.join(self.root, "rgb", rname))
+        depth = _read_image(os.path.join(self.root, "depth", dname))
+        gray = to_grayscale(rgb)
+        depth = depth.astype(np.float32) / self.depth_factor
+        self._i += 1
+        return time.perf_counter() - self._t0, gray, depth, rgb
+
+    @property
+    def camera(self):
+        return self._cam
+
+
+SOURCES = {"openni": OpenNISource, "synthetic": SyntheticSource,
+           "folder": FolderSource}
 
 
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--source", choices=sorted(SOURCES), default="synthetic")
+    p.add_argument("--root", default=None,
+                   help="folder source: directory with rgb/ + depth/")
+    p.add_argument("--settings", default=None)
     p.add_argument("--frames", type=int, default=120)
     p.add_argument("--fps", type=float, default=30.0)
     p.add_argument("--platform", default=None)
@@ -122,6 +189,9 @@ def main():
 
     if args.source == "synthetic":
         src = SyntheticSource(fps=args.fps, n_frames=args.frames)
+    elif args.source == "folder":
+        src = FolderSource(args.root or ".", fps=args.fps,
+                           settings=args.settings)
     else:
         src = SOURCES[args.source]()
     if not src.open():

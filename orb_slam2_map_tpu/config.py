@@ -230,8 +230,12 @@ def load_settings(path: str) -> SystemConfig:
     dense = DenseMappingConfig(
         resolution=float(g("PointCloudMapping.Resolution", 0.04)),
     )
+    # the reference's hard-coded 500-point stereo-init gate assumes the
+    # 1000-feature budget (src/Tracking.cc:789); scale it with nFeatures
+    tracking = TrackingConfig(
+        min_init_stereo_points=max(100, orb.n_features // 2))
     return SystemConfig(
-        camera=cam, orb=orb, dense=dense,
+        camera=cam, orb=orb, dense=dense, tracking=tracking,
         depth_map_factor=float(g("DepthMapFactor", 5000.0)),
         rgb_order=int(g("Camera.RGB", 1)),
     )

@@ -38,7 +38,7 @@ def sim3_ransac(cam: PinholeCamera, X1, X2, level_sigma2_1, level_sigma2_2,
     """Estimate S12 (maps camera-2-frame points into camera 1) from paired
     camera-frame points X1, X2 [N, 3].
 
-    The inlier check is the reference's両-direction reprojection error
+    The inlier check is the reference's two-direction reprojection error
     gate: project S12*X2 into image 1 and S21*X1 into image 2, threshold
     9.21 * sigma2 each (reference: src/Sim3Solver.cc:340-365 CheckInliers,
     th2 = 9.210)."""

@@ -27,11 +27,12 @@ def extract_batch(images: jnp.ndarray, cfg: ORBConfig) -> orb.Keypoints:
     return jax.vmap(lambda im: orb.extract(im, cfg))(images)
 
 
-def extract_batch_sharded(images, cfg: ORBConfig, mesh: Mesh,
-                          axis: str = "data") -> orb.Keypoints:
-    """Explicitly shard the batch over `axis` and extract per-device."""
-    images = jax.device_put(images, NamedSharding(mesh, P(axis)))
+@functools.lru_cache(maxsize=16)
+def _sharded_extract_fn(cfg: ORBConfig, mesh: Mesh, axis: str):
+    """jit-compiled shard_map extractor, cached per (cfg, mesh) — an
+    unjitted shard_map re-traces eagerly on every call."""
 
+    @jax.jit
     @functools.partial(jax.shard_map, mesh=mesh,
                        in_specs=P(axis),
                        out_specs=(P(axis),) * 6,
@@ -39,4 +40,12 @@ def extract_batch_sharded(images, cfg: ORBConfig, mesh: Mesh,
     def run(imgs):
         return tuple(jax.vmap(lambda im: orb.extract(im, cfg))(imgs))
 
+    return run
+
+
+def extract_batch_sharded(images, cfg: ORBConfig, mesh: Mesh,
+                          axis: str = "data") -> orb.Keypoints:
+    """Explicitly shard the batch over `axis` and extract per-device."""
+    images = jax.device_put(images, NamedSharding(mesh, P(axis)))
+    run = _sharded_extract_fn(cfg, mesh, axis)
     return orb.Keypoints(*run(images))

@@ -82,7 +82,7 @@ class AsyncRGBDPipeline:
 
     def __init__(self, cfg: SystemConfig, tracker: Tracker,
                  local_mapper=None, dense_mapper=None,
-                 max_in_flight: int = 10, ring: int = 64):
+                 max_in_flight: int = 16, ring: int = 64):
         self.cfg = cfg
         self.tracker = tracker
         self.map = tracker.map
@@ -300,6 +300,11 @@ class AsyncRGBDPipeline:
                 batch.append(nxt)
             arrs = jax.device_get([b.packed for b in batch])
             for b, a in zip(batch, arrs):
+                # the device work for this frame is done once its packed
+                # result is on host — release the in-flight slot here so
+                # supervision hiccups (keyframe handling, publishes)
+                # never stall the dispatch thread
+                self._inflight_sem.release()
                 self._result_q.put((b, a))
 
     # ------------------------------------------------------------------
@@ -337,7 +342,6 @@ class AsyncRGBDPipeline:
                 import traceback
                 traceback.print_exc()
             finally:
-                self._inflight_sem.release()
                 with self._pending_cv:
                     self._pending_results -= 1
                     self._pending_cv.notify_all()

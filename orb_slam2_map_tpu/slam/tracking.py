@@ -62,6 +62,10 @@ class Tracker:
         self.relocalizer = relocalizer  # place-recognition hook
         self.state = TrackingState.NO_IMAGES_YET
         self.only_tracking = False      # localization mode (no mapping)
+        self.vo_only = False            # mbVO: tracking on temporal VO
+                                        # points only (ref Tracking.h:101)
+        self._n_map_inliers = 0
+        self._n_vo_candidates = 0
 
         self.frame_id = -1
         self.last_frame: Optional[Frame] = None
@@ -126,7 +130,27 @@ class Tracker:
         ok = False
         done_local = False
         close_counts = None
-        if self.state == TrackingState.OK:
+        if (self.state == TrackingState.OK and self.only_tracking
+                and self.vo_only):
+            # localization-mode VO (reference mbVO, src/Tracking.cc:
+            # 521-574): the map has too few points here, so run BOTH
+            # visual odometry on temporal points AND relocalization;
+            # a successful reloc re-anchors to the map
+            if f is None:
+                f = build()
+            ok_mm, f_mm, obs_mm = (
+                self._track_with_motion_model(f)
+                if self.velocity is not None
+                else (False, f, np.full(f.capacity, -1, dtype=np.int64)))
+            ok_rel, f_rel, obs_rel = self._relocalize(f)
+            if ok_rel:
+                ok, f, cur_obs = True, f_rel, obs_rel
+                self.vo_only = False
+                self.last_reloc_frame_id = self.frame_id
+            elif ok_mm:
+                ok, f, cur_obs = True, f_mm, obs_mm
+            done_local = self.vo_only  # no local map while VO-only
+        elif self.state == TrackingState.OK:
             if self.velocity is not None:
                 if f is None and gray is not None:
                     status, f, cur_obs, close_counts = self._track_chain(
@@ -224,7 +248,11 @@ class Tracker:
     # ------------------------------------------------------------------
 
     def _track_with_motion_model(self, f: Frame):
-        """(reference: src/Tracking.cc:1151-1212)."""
+        """(reference: src/Tracking.cc:1151-1212, with the temporal "VO"
+        depth points of UpdateLastFrame :1085-1149 injected into the
+        candidate set: unbound close-depth keypoints of the last frame
+        constrain the pose but carry no map binding — the backbone of
+        localization-mode visual odometry)."""
         tcfg = self.cfg.tracking
         Rv, tv = self.velocity
         Rl, tl = np.asarray(self.last_frame.R), np.asarray(self.last_frame.t)
@@ -236,7 +264,29 @@ class Tracker:
         last_obs[~alive] = -1
         mp_idx = np.clip(last_obs, 0, None)
         last_xw = self.map.mp_pos[mp_idx]
-        last_valid = alive
+
+        # temporal VO points from the last frame's depth
+        lf = self.last_frame
+        lf_depth = np.asarray(lf.depth)
+        lf_valid = np.asarray(lf.valid)
+        has_d = (lf_depth > 0) & lf_valid & ~alive
+        if has_d.any():
+            close = lf_depth < self.th_depth_m
+            order = np.argsort(np.where(has_d, lf_depth, np.inf))
+            rank = np.empty_like(order)
+            rank[order] = np.arange(len(order))
+            vo = has_d & (close | (rank < tcfg.vo_depth_points))
+            cam = self.cfg.camera
+            xy = np.asarray(lf.xy)
+            z = np.maximum(lf_depth, 1e-6)
+            Xc = np.stack([(xy[:, 0] - cam.cx) / cam.fx * z,
+                           (xy[:, 1] - cam.cy) / cam.fy * z, z], axis=1)
+            Xw_vo = (Xc - tl[None, :]) @ Rl
+            last_xw = np.where(vo[:, None], Xw_vo, last_xw)
+            self._n_vo_candidates = int(vo.sum())
+        else:
+            vo = np.zeros_like(alive)
+        last_valid = alive | vo
 
         th = tcfg.search_window_mono  # RGB-D/mono window (stereo: 7)
         matches = None
@@ -269,6 +319,11 @@ class Tracker:
         n_inl = int(inl.sum())
         if n_inl < 10:
             return False, f, np.full(f.capacity, -1, dtype=np.int64)
+        # map-bound inliers drive the localization-mode VO flag
+        # (reference mbVO: nmatchesMap < 10, src/Tracking.cc:599-619)
+        self._n_map_inliers = int((inl & alive).sum())
+        if self.only_tracking:
+            self.vo_only = self._n_map_inliers < 10
         f = frame_mod.set_pose(f, np.asarray(res.R), np.asarray(res.t))
         cur_obs = np.full(f.capacity, -1, dtype=np.int64)
         cur_obs[kp_of[inl]] = last_obs[inl]
@@ -529,13 +584,52 @@ class Tracker:
                 self.cfg.camera, pr.R, pr.t, jnp.asarray(X), jnp.asarray(uv),
                 jnp.asarray(ur), jnp.asarray(inv_s2), jnp.asarray(keep_np))
             inl = np.asarray(res.inliers)
-            if int(inl.sum()) >= self.cfg.tracking.reloc_min_inliers:
-                f = frame_mod.set_pose(f, np.asarray(res.R), np.asarray(res.t))
-                cur_obs = empty.copy()
-                cur_obs[kp_of[inl]] = mids[inl]
+            n_good = int(inl.sum())
+            min_inl = self.cfg.tracking.reloc_min_inliers
+            cur_obs = empty.copy()
+            cur_obs[kp_of[inl]] = mids[inl]
+            R_cur, t_cur = np.asarray(res.R), np.asarray(res.t)
+
+            # projection rescue: widen the search around the optimized
+            # pose and re-optimize (reference: src/Tracking.cc:1745-1797,
+            # th=10 then th=3) — borderline relocalizations succeed here
+            if 10 <= n_good < min_inl:
+                for th in (10.0, 3.0):
+                    n_good, R_cur, t_cur, cur_obs = self._reloc_rescue(
+                        f, int(kid), R_cur, t_cur, cur_obs, th)
+                    if n_good >= min_inl:
+                        break
+                    if n_good < 30:  # second pass needs 30..50 (ref :1774)
+                        break
+            if n_good >= min_inl:
+                f = frame_mod.set_pose(f, R_cur, t_cur)
                 self.ref_kf = int(kid)
                 return True, f, cur_obs
         return False, f, empty
+
+    def _reloc_rescue(self, f: Frame, kid: int, R, t, cur_obs, th):
+        """One projection-rescue round: match the candidate KF's map
+        points into the frame by projection at the current pose estimate
+        and re-run pose optimization over the merged bindings."""
+        kf_obs = self.map.kf_obs[kid]
+        mids = np.unique(kf_obs[kf_obs >= 0])
+        mids = mids[self.map.mp_exists[mids]]
+        pad = max(256, 1 << int(np.ceil(np.log2(max(len(mids), 1)))))
+        mids_p = np.zeros(pad, dtype=np.int64)
+        mids_p[:len(mids)] = mids
+        mp_valid = np.zeros(pad, dtype=bool)
+        mp_valid[:len(mids)] = True
+        dev = self.map.device_point_arrays()
+        R0s = jnp.asarray(np.stack([R, R]).astype(np.float32))
+        t0s = jnp.asarray(np.stack([t, t]).astype(np.float32))
+        res = pipeline_step.local_map_step(
+            self.cfg, f, dev["mp_pos"], dev["mp_desc"], dev["mp_normal"],
+            dev["mp_min_dist"], dev["mp_max_dist"],
+            jnp.asarray(mids_p.astype(np.int32)), jnp.asarray(mp_valid),
+            jnp.asarray(cur_obs.astype(np.int32)), (R0s, t0s), float(th))
+        cur2 = np.asarray(res.cur_obs).astype(np.int64)
+        return (int(res.n_inliers), np.asarray(res.R), np.asarray(res.t),
+                cur2)
 
     # ------------------------------------------------------------------
     # keyframe policy

@@ -1,0 +1,90 @@
+"""End-to-end dataset drivers from DISK: generate tiny TUM / KITTI
+fixtures (tests/fixtures.py) and run the apps/ drivers on them in-process
+— the full file-IO -> config -> SLAM -> trajectory-writer path the
+reference exercises with its Examples binaries
+(reference: Examples/RGB-D/rgbd_tum.cc:141-166, rgbd_cc.cc,
+Examples/Stereo/stereo_kitti.cc)."""
+
+import importlib.util
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(__file__))
+from fixtures import make_kitti_fixture, make_tum_fixture  # noqa: E402
+
+APPS = os.path.join(os.path.dirname(__file__), "..", "apps")
+
+
+def _load_app(name):
+    if APPS not in sys.path:
+        sys.path.insert(0, APPS)
+    spec = importlib.util.spec_from_file_location(
+        name, os.path.join(APPS, f"{name}.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.fixture(scope="module")
+def tum_fixture(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("tum_tiny"))
+    return make_tum_fixture(root, n_frames=12)
+
+
+class TestDiskDrivers:
+    def test_rgbd_tum_from_disk(self, tum_fixture, tmp_path,
+                                monkeypatch, capsys):
+        root, assoc, gt, settings = tum_fixture
+        out = str(tmp_path / "traj.txt")
+        app = _load_app("rgbd_tum")
+        monkeypatch.setattr(sys, "argv", [
+            "rgbd_tum", root, assoc, "--settings", settings,
+            "--gt", gt, "--out", out, "--no-loop"])
+        assert app.main() == 0
+        printed = capsys.readouterr().out
+        assert "ATE RMSE" in printed
+        ate_cm = float(printed.split("ATE RMSE:")[1].split("cm")[0])
+        assert ate_cm < 2.0, f"disk TUM ATE {ate_cm}cm exceeds target"
+        from orb_slam2_map_tpu.io import trajectory as tio
+
+        ts2, mats = tio.read_tum(out)
+        assert len(ts2) >= 10
+
+    def test_rgbd_cc_from_disk(self, tum_fixture, tmp_path, monkeypatch):
+        root, assoc, gt, settings = tum_fixture
+        out = str(tmp_path / "traj_cc.txt")
+        app = _load_app("rgbd_cc")
+        monkeypatch.setattr(sys, "argv", [
+            "rgbd_cc", root, "--settings", settings, "--out", out,
+            "--no-loop"])
+        assert app.main() == 0
+        from orb_slam2_map_tpu.io import trajectory as tio
+
+        ts2, mats = tio.read_tum(out)
+        assert len(ts2) >= 10
+
+    def test_stereo_kitti_from_disk(self, tmp_path_factory, tmp_path,
+                                    monkeypatch):
+        root = str(tmp_path_factory.mktemp("kitti_tiny"))
+        root, Twc_gt = make_kitti_fixture(root, n_frames=6)
+        out = str(tmp_path / "kitti.txt")
+        app = _load_app("stereo_kitti")
+        monkeypatch.setattr(sys, "argv", [
+            "stereo_kitti", root, "--out", out, "--no-loop"])
+        assert app.main() == 0
+        assert os.path.exists(out)
+        mats = np.loadtxt(out)
+        assert mats.shape[1] == 12   # KITTI 3x4 rows
+
+    def test_rgbd_live_folder_source(self, tum_fixture, monkeypatch,
+                                     capsys):
+        root, assoc, gt, settings = tum_fixture
+        app = _load_app("rgbd_live")
+        monkeypatch.setattr(sys, "argv", [
+            "rgbd_live", "--source", "folder", "--root", root,
+            "--settings", settings, "--fps", "1000"])
+        assert app.main() == 0
+        assert "live run:" in capsys.readouterr().out

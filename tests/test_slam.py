@@ -97,6 +97,43 @@ class TestRGBDPipeline:
         assert np.linalg.norm(ce - Twc[5][:3, 3]) < 0.10
 
 
+class TestLocalizationModeVO:
+    def test_sparse_map_traversal(self, small_world):
+        """Localization-mode visual odometry (reference mbVO,
+        src/Tracking.cc:487-620): after most map points are removed the
+        tracker must drop to temporal-VO tracking instead of going LOST,
+        and re-anchor to the map where coverage remains."""
+        from orb_slam2_map_tpu.slam import SLAMSystem, Sensor, TrackingState
+
+        world, cfg = small_world
+        Twc, ts = sweep_trajectory(30)
+        seq = SyntheticRGBDSequence(world, Twc, ts)
+        slam = SLAMSystem(cfg, Sensor.RGBD, enable_loop_closing=False,
+                          max_keyframes=64, max_points=1 << 14)
+        for i in range(15):
+            t, gray, depth, rgb = seq[i]
+            slam.track_rgbd(t, gray, depth)
+        assert slam.tracker.state == TrackingState.OK
+
+        # starve the map: keep only ~8% of points
+        m = slam.map
+        mids = m.point_ids()
+        rng = np.random.default_rng(0)
+        drop = mids[rng.random(len(mids)) > 0.08]
+        m.erase_points_bulk(drop)
+        slam.activate_localization_mode()
+
+        n_ok = 0
+        went_vo = False
+        for i in range(15, 30):
+            t, gray, depth, rgb = seq[i]
+            if slam.track_rgbd(t, gray, depth) is not None:
+                n_ok += 1
+            went_vo = went_vo or slam.tracker.vo_only
+        # temporal VO keeps tracking alive across the starved map
+        assert n_ok >= 13, f"only {n_ok}/15 frames tracked in VO mode"
+
+
 class TestMonocular:
     def test_initialization_and_tracking(self, small_world):
         from orb_slam2_map_tpu.slam import SLAMSystem, Sensor
