@@ -177,6 +177,8 @@ def main():
                    help="AR cube overlay (ViewerAR equivalent)")
     p.add_argument("--out-dir", default=None,
                    help="viewer snapshot directory")
+    p.add_argument("--web", type=int, default=None,
+                   help="serve the live web viewer on this port")
     args = p.parse_args()
 
     import jax
@@ -211,6 +213,13 @@ def main():
         from orb_slam2_map_tpu.viz.viewer import Viewer
 
         viewer = Viewer(slam, args.out_dir)
+    web = None
+    if args.web:
+        from orb_slam2_map_tpu.viz.web_viewer import WebViewer
+
+        web = WebViewer(slam, port=args.web,
+                        out_dir=args.out_dir or ".").start()
+        print(f"web viewer at http://localhost:{args.web}/")
 
     n, dropped, t_wall = 0, 0, time.perf_counter()
     times = []
@@ -233,9 +242,13 @@ def main():
             ar.update(gray, Tcw, slam.map.mp_pos[mp])
         if viewer is not None:
             viewer.update(gray, Tcw)
+        if web is not None:
+            web.update(gray, Tcw)
         n += 1
     wall = time.perf_counter() - t_wall
     src.close()
+    if web is not None:
+        web.stop()
     slam.shutdown()
     med = np.median(times) if times else 0.0
     print(f"live run: {n} frames in {wall:.1f}s "

@@ -17,6 +17,18 @@ import pytest
 REPO = os.path.join(os.path.dirname(__file__), "..")
 
 
+def _run_tool(name, argv):
+    """Run a tools/ CLI in-process (same argv surface, none of the
+    subprocess jax re-import / re-compile cost)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        name, os.path.join(REPO, "tools", f"{name}.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod.main([name] + list(argv))
+
+
 # ---------------------------------------------------------------------------
 # pub/sub bus + nodes
 # ---------------------------------------------------------------------------
@@ -214,11 +226,8 @@ class TestTools:
         txt.write_text("\n".join(lines) + "\n")
 
         out = tmp_path / "voc.npz"
-        r = subprocess.run(
-            [sys.executable, os.path.join(REPO, "tools/bin_vocabulary.py"),
-             str(txt), str(out)],
-            capture_output=True, text=True, timeout=300)
-        assert r.returncode == 0, r.stderr
+        rc = _run_tool("bin_vocabulary", [str(txt), str(out)])
+        assert rc in (0, None)
         voc2 = Vocabulary.load(str(out))
         assert voc2.k == voc.k and voc2.L == voc.L
         np.testing.assert_array_equal(voc2.centroids, voc.centroids)
@@ -233,11 +242,8 @@ class TestTools:
         pcd = tmp_path / "c.pcd"
         save_pcd(str(pcd), xyz)
         out = tmp_path / "g.pgm"
-        r = subprocess.run(
-            [sys.executable, os.path.join(REPO, "tools/cloud_to_grid2d.py"),
-             str(pcd), str(out), "0.1"],
-            capture_output=True, text=True, timeout=300)
-        assert r.returncode == 0, r.stderr
+        rc = _run_tool("cloud_to_grid2d", [str(pcd), str(out), "0.1"])
+        assert rc in (0, None)
         assert out.exists()
         head = out.read_bytes()[:2]
         assert head == b"P5"
@@ -252,11 +258,8 @@ class TestTools:
         pcd = tmp_path / "c.pcd"
         save_pcd(str(pcd), xyz)
         out = tmp_path / "o.npz"
-        r = subprocess.run(
-            [sys.executable, os.path.join(REPO, "tools/pcd2octomap.py"),
-             str(pcd), str(out), "0.1"],
-            capture_output=True, text=True, timeout=600)
-        assert r.returncode == 0, r.stderr
+        rc = _run_tool("pcd2octomap", [str(pcd), str(out), "0.1"])
+        assert rc in (0, None)
         g = OccupancyGrid3D.load(str(out), DenseMappingConfig())
         occ, _ = g.occupied_cells(threshold=0.5)
         assert len(occ) > 0
