@@ -51,7 +51,7 @@ def main():
     #         ATE + end-to-end wall-clock fps, measured on a warm second
     #         pass (first pass pays one-time jit compilation) ---
     ate = pipeline_fps = 0.0
-    for _ in range(2):
+    for trial in range(2):
         slam = SLAMSystem(cfg, Sensor.RGBD, enable_loop_closing=False)
         t0 = time.perf_counter()
         for t, gray, depth, rgb in frames:
@@ -63,6 +63,8 @@ def main():
         ate = evaluate.ate_rmse(ts_est, pos_est, ts, Twc[:, :3, 3])
         pipeline_fps = len(frames) / wall
         slam.shutdown()
+        if trial == 0 and wall > 240.0:
+            break   # degraded network tunnel: skip the warm pass
 
     # --- 2) fused tracking step: device throughput (frames/s/chip) ---
     import jax.numpy as jnp

@@ -104,9 +104,9 @@ class BackgroundGBA:
             done += n
             if self._abort.is_set():
                 return
-        import jax
+        from ..utils import transfer
 
-        R, t, X = jax.device_get((prob.R, prob.t, prob.X))
+        R, t, X = transfer.fetch((prob.R, prob.t, prob.X))
         with self._lock:
             self._staged = (kfs, R, t, mids, X, snap)
 

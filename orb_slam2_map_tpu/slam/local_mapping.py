@@ -18,6 +18,8 @@ from typing import List, Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
+from ..utils import transfer
+
 
 from ..config import SystemConfig
 from ..geom import se3 as se3_np  # jnp-based but works on np inputs
@@ -172,7 +174,7 @@ class LocalMapper:
                 self.map.kf_ur[pad_arr]))
             res = mapping_kernels.triangulate_pairs_batch(self.cfg, *args)
         # device round trip runs WITHOUT the map lock
-        ok_b, col_b, X_b = jax.device_get((res.ok, res.kp2_idx, res.X))
+        ok_b, col_b, X_b = transfer.fetch((res.ok, res.kp2_idx, res.X))
 
         with self.lock:
             new_all = []
@@ -242,7 +244,7 @@ class LocalMapper:
             pulls.extend([fwd[2].ok, fwd[2].kp_idx])
         if rev is not None:
             pulls.extend([rev[2].ok, rev[2].kp_idx])
-        host = jax.device_get(pulls)   # no map lock during the RTT
+        host = transfer.fetch(pulls)   # no map lock during the RTT
         with self.lock:
             if fwd is not None:
                 targets_f, mids_p = fwd[0], fwd[1]
@@ -321,7 +323,7 @@ class LocalMapper:
         if d is None:
             return
         _, mids_p, res, valid = d
-        ok_np, kp_np = jax.device_get((res.ok, res.kp_idx))
+        ok_np, kp_np = transfer.fetch((res.ok, res.kp_idx))
         keep = ok_np & valid
         rows = np.nonzero(keep)[0]
         self._apply_fuse(kid, mids_p, rows, kp_np[rows])
@@ -379,7 +381,7 @@ class LocalMapper:
         free_ids, fix_ids, mids, prob_np = built
         prob = jax.device_put(prob_np)          # ONE host->device transfer
         res = local_ba.local_ba_jit(self.cfg.camera, prob)
-        R_f, t_f, X_f, inl_f = jax.device_get(   # ONE device->host, no lock
+        R_f, t_f, X_f, inl_f = transfer.fetch(   # ONE device->host, no lock
             (res.R_free, res.t_free, res.X, res.inlier_free))
 
         with self.lock:

@@ -220,12 +220,15 @@ def fused_frame_step(cfg: SystemConfig, carry: TrackCarry,
     the only per-frame host traffic is the image upload and an
     asynchronous download of the packed result.
 
-    ctrl: f32[4] = [th_local, min_inliers, use_motion(0/1), pad].
+    ctrl: f32[4] = [th_local, min_inliers, use_motion(0/1), depth_scale].
+    depth_f32 may be any dtype (u16 TUM-style uploads cost 40% of the
+    f32 bytes over networked TPU); depth_m = depth * ctrl[3].
     mids [C] indexes the published map columns; mp_alive masks points
     culled since the column upload."""
     cam = cfg.camera
     tcfg = cfg.tracking
-    f = frame_mod._build_rgbd(cfg, gray_u8.astype(jnp.float32), depth_f32)
+    f = frame_mod._build_rgbd(cfg, gray_u8.astype(jnp.float32),
+                              depth_f32.astype(jnp.float32) * ctrl[3])
     N = f.capacity
 
     # ---- motion-model candidate set: bound map points + temporal VO ----
