@@ -47,11 +47,12 @@ class BackgroundGBA:
     """One in-flight global BA at a time (matching the reference, which
     aborts a running GBA before starting the next)."""
 
-    CHUNK = 20  # LM iterations per abort-check (coarser than the
-                # reference's per-iteration mbStopGBA check: restarting
-                # the LM damping schedule between small chunks measurably
-                # hurts convergence, and a full 20-iteration device run
-                # is itself only seconds)
+    CHUNK = 5   # LM iterations per abort-check. The damping state is
+                # carried across chunks (global_ba_chunk), so small
+                # chunks no longer hurt convergence; a responsive abort
+                # matters because LoopClosing waits on it while holding
+                # the map lock (reference per-iteration mbStopGBA check,
+                # src/LoopClosing.cc:412-421)
 
     def __init__(self, cfg, map_store):
         self.cfg = cfg
@@ -96,14 +97,20 @@ class BackgroundGBA:
         self._abort.set()
 
     def _run(self, prob, kfs, mids, snap, iters):
+        import jax.numpy as jnp
+
         done = 0
+        lam = jnp.float32(1e-5)
         while done < iters:
             n = min(self.CHUNK, iters - done)
-            res = gba.global_ba(self.cfg.camera, prob, n)
+            res, lam, n_ran = gba.global_ba_chunk(
+                self.cfg.camera, prob, n, 24, True, lam)
             prob = prob._replace(R=res.R, t=res.t, X=res.X)
             done += n
             if self._abort.is_set():
                 return
+            if int(n_ran) < n:   # chi2 plateaued inside the chunk
+                break
         from ..utils import transfer
 
         R, t, X = transfer.fetch((prob.R, prob.t, prob.X))

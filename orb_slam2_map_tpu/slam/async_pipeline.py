@@ -141,6 +141,11 @@ class AsyncRGBDPipeline:
 
         if self._failed_at is not None:
             self._recover()
+            if self._recovered_to >= fid:
+                # the recovery replay already tracked this frame through
+                # the synchronous state machine — tracking it again would
+                # duplicate its FrameLog entry and double-step frame_id
+                return
 
         if self._mode == "sync":
             with self._map_lock:
@@ -160,14 +165,18 @@ class AsyncRGBDPipeline:
         min_inl = self.cfg.tracking.local_map_min_inliers
         if fid - self.tracker.last_reloc_frame_id < int(self.cfg.camera.fps):
             min_inl = self.cfg.tracking.local_map_min_inliers_after_reloc
-        # upload diet: u8 gray + u16 depth (TUM's native format, 0.2 mm
-        # quantization) is 40% of the f32 bytes — upload bandwidth
-        # serializes with device compute on networked TPUs
-        depth_u16 = np.clip(np.asarray(depth) * 5000.0, 0,
-                            65535).astype(np.uint16)
+        # upload diet: u8 gray + u16 depth (the dataset's native format,
+        # e.g. 0.2 mm quantization for TUM) is 40% of the f32 bytes —
+        # upload bandwidth serializes with device compute on networked
+        # TPUs. Depths beyond the u16 range are INVALIDATED (0 = no
+        # depth), not saturated: a clipped far point would otherwise get
+        # a corrupted pseudo-stereo constraint.
+        qf = float(self.cfg.depth_map_factor) or 5000.0
+        d = np.asarray(depth) * qf
+        depth_u16 = np.where(d > 65535.0, 0.0, d).astype(np.uint16)
         gray_u8, depth_f32, ctrl = jax.device_put(
             (np.asarray(gray, dtype=np.uint8), depth_u16,
-             np.asarray([th, float(min_inl), 1.0, 1.0 / 5000.0],
+             np.asarray([th, float(min_inl), 1.0, 1.0 / qf],
                         dtype=np.float32)))
         self._carry, packed, f = pipeline_step.fused_frame_step(
             self.cfg, self._carry, gray_u8, depth_f32, ctrl,
@@ -434,11 +443,11 @@ class AsyncRGBDPipeline:
         t = self.tracker
         f = inflight.frame
         host = transfer.fetch((f.xy, f.ur, f.depth, f.desc, f.level,
-                               f.angle, f.valid, f.inv_sigma2))
+                               f.angle, f.valid, f.inv_sigma2, f.response))
         hf = frame_mod.Frame(
             xy=host[0], ur=host[1], depth=host[2], desc=host[3],
             level=host[4], angle=host[5], valid=host[6],
-            inv_sigma2=host[7], response=host[0][:, 0], R=R, t=tt)
+            inv_sigma2=host[7], response=host[8], R=R, t=tt)
         obs = t._create_points_from_depth(
             hf, cur_obs, max_new=self.cfg.tracking.vo_depth_points)
         kid = self.map.add_keyframe(hf, inflight.ts, inflight.fid, obs)

@@ -63,9 +63,15 @@ class WebViewer:
     stream whatever is latest. All rendering happens lazily on demand so
     an unwatched viewer costs one array copy per update."""
 
-    def __init__(self, system, port: int = 8765, out_dir: str = "."):
+    def __init__(self, system, port: int = 8765, out_dir: str = ".",
+                 host: str = "127.0.0.1"):
+        # localhost-only by default: the control surface exposes
+        # unauthenticated POST /reset (wipes the map) and /save (writes
+        # files) — the reference's Pangolin viewer is likewise local-only.
+        # Pass host="0.0.0.0" explicitly to serve remote clients.
         self.system = system
         self.port = port
+        self.host = host
         self.out_dir = out_dir
         self._lock = threading.Lock()
         self._gray: Optional[np.ndarray] = None
@@ -185,7 +191,7 @@ class WebViewer:
                     return
                 self._send(200, "application/json", b"{\"ok\": true}")
 
-        self._server = ThreadingHTTPServer(("0.0.0.0", self.port), Handler)
+        self._server = ThreadingHTTPServer((self.host, self.port), Handler)
         t = threading.Thread(target=self._server.serve_forever, daemon=True)
         t.start()
         return self
