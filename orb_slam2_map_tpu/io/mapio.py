@@ -88,4 +88,5 @@ def load_map(path: str, m: MapStore) -> None:
     m.mp_obs_count[:] = 0
     for k in np.nonzero(m.kf_exists)[0]:
         m._rebuild_incidence_row(int(k))
+    m.mark_all_points_dirty()
     m.version += 1

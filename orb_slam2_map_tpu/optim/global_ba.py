@@ -388,4 +388,5 @@ def run_global_ba(cfg, map_store, fixed_kf: int, iters: int = 20):
     m.kf_R[kfs] = np.asarray(res.R)
     m.kf_t[kfs] = np.asarray(res.t)
     m.mp_pos[mids] = np.asarray(res.X)
+    m.mark_all_points_dirty()
     m.version += 1

@@ -117,6 +117,33 @@ def distributed_global_ba(cam: PinholeCamera, prob: gba.GBAProblem,
     return gba.GBAResult(*run(*prob))
 
 
+def distributed_global_ba_chunk(cam: PinholeCamera, prob: gba.GBAProblem,
+                                mesh: Mesh, axis: str = "data",
+                                iters: int = 5, cg_iters: int = 16,
+                                lam0=1e-5):
+    """Chunked distributed GBA for the background worker: same semantics
+    as gba.global_ba_chunk (damping carried across chunks, chi2-plateau
+    early exit) but with points/observations sharded over the mesh and
+    camera reductions psummed over ICI. Returns
+    (sharded problem with updated R/t/X, lam_out, n_iters_done)."""
+    in_specs = (P(), P(), P(axis), P(),
+                P(axis), P(axis), P(axis), P(axis), P(axis), P(axis), P())
+    out_specs = ((P(), P(), P(axis), P(),
+                  P(axis), P(axis), P(axis), P(axis), P(axis), P(axis)),
+                 P(), P())
+
+    @functools.partial(jax.shard_map, mesh=mesh, in_specs=in_specs,
+                       out_specs=out_specs, check_vma=False)
+    def run(*fields):
+        p = gba.GBAProblem(*fields[:-1])
+        p_out, lam, n_done = gba._lm_loop(cam, p, iters, cg_iters, True,
+                                          axis, fields[-1])
+        return tuple(p_out), lam, n_done
+
+    out, lam, n_done = run(*prob, jnp.asarray(lam0, jnp.float32))
+    return gba.GBAProblem(*out), lam, n_done
+
+
 def run_distributed_global_ba(cfg, map_store, mesh: Mesh,
                               axis: str = "data", fixed_kf: int = 0,
                               iters: int = 10):
@@ -174,4 +201,5 @@ def run_distributed_global_ba(cfg, map_store, mesh: Mesh,
     X_out = np.asarray(res.X)
     inv_perm = np.argsort(perm)
     m.mp_pos[mids] = X_out[inv_perm][:Pn]
+    m.mark_all_points_dirty()
     m.version += 1

@@ -392,6 +392,7 @@ class LocalMapper:
             P = len(mids)
             alive = mstore.mp_exists[mids]
             mstore.mp_pos[mids[alive]] = X_f[:P][alive]
+            mstore.mark_points_dirty(mids[alive])
 
             # remove outlier observations (reference: :714-748)
             inl_free = inl_f[:P, :K]

@@ -77,15 +77,20 @@ class FuseMatchResult(NamedTuple):
     ok: jnp.ndarray        # [C]
 
 
-@functools.partial(jax.jit, static_argnums=(0,))
+@functools.partial(jax.jit, static_argnums=(0, 12))
 def fuse_match(cfg: SystemConfig, R, t, mp_pos, mp_desc,
                mp_min_dist, mp_max_dist, mp_valid,
-               kf_xy, kf_level, kf_valid, kf_desc) -> FuseMatchResult:
+               kf_xy, kf_level, kf_valid, kf_desc,
+               th: float = 3.0) -> FuseMatchResult:
     """Project candidate map points into a keyframe and match against its
     keypoints (reference Fuse, src/ORBmatcher.cc:825-975): frustum +
     distance band + predicted-scale window + level band + Hamming NN.
     Candidate arrays are padded to a bucket size so jit caches per
-    bucket, not per call."""
+    bucket, not per call.
+
+    With th=10 and an Scw normalized to SE3 (R, t/s) this is also the
+    loop-closing SearchByProjection (reference: src/ORBmatcher.cc:290-403
+    + src/LoopClosing.cc:376-386), which decomposes Scw the same way."""
     cam = cfg.camera
     n_levels = cfg.orb.n_levels
     sf = jnp.asarray(cfg.orb.scale_factors, jnp.float32)
@@ -105,7 +110,7 @@ def fuse_match(cfg: SystemConfig, R, t, mp_pos, mp_desc,
     ratio = jnp.maximum(mp_max_dist, 1e-9) / jnp.maximum(dist, 1e-9)
     pred = jnp.clip(jnp.ceil(jnp.log(ratio) / log_sf).astype(jnp.int32),
                     0, n_levels - 1)
-    radius = 3.0 * sf[pred]
+    radius = th * sf[pred]
 
     uvq = jnp.stack([u, v], axis=1)
     gate = (matching.window_gate(uvq, kf_xy, radius)
@@ -150,6 +155,70 @@ def fuse_match_batch(cfg: SystemConfig, Rs, ts, mp_pos, mp_desc,
         fuse_match(cfg, R, t, mp_pos, mp_desc, mp_min_dist, mp_max_dist,
                    mp_valid, kf_xy, kf_level, kf_valid, kf_desc)
     )(Rs, ts, kf_xys, kf_levels, kf_valids, kf_descs)
+
+
+class Sim3SearchResult(NamedTuple):
+    match12: jnp.ndarray   # [N1] int32: agreed keypoint in KF2 (-1 = none)
+    ok: jnp.ndarray        # [N1] bool
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def search_by_sim3(cfg: SystemConfig, R12, t12, s12,
+                   Xc1, has1, desc1, level1, mind1, maxd1, xy1, already1,
+                   Xc2, has2, desc2, level2, mind2, maxd2, xy2, already2,
+                   ) -> Sim3SearchResult:
+    """Sim3-guided match widening between two keyframes (reference:
+    src/ORBmatcher.cc:1102-1326 SearchBySim3, th=7.5): transform each
+    KF's bound map points into the other camera with the estimated S12
+    (and S21 = S12^-1), project, gate by scale band / predicted level /
+    radius, Hamming-NN both directions, and keep mutual agreements.
+
+    Inputs are per-keypoint arrays at full capacity: XcK = camera-K-frame
+    position of the map point bound to each keypoint, hasK = bound & alive,
+    alreadyK = keypoint participates in an existing match (kept as-is)."""
+    cam = cfg.camera
+    n_levels = cfg.orb.n_levels
+    sf = jnp.asarray(cfg.orb.scale_factors, jnp.float32)
+    log_sf = jnp.log(jnp.float32(cfg.orb.scale_factor))
+    th = 7.5
+
+    sR12 = s12 * R12
+    sR21 = (1.0 / s12) * R12.T
+    t21 = -sR21 @ t12
+
+    def one_direction(Xc_src, src_ok, desc_src, mind, maxd,
+                      sR, tt, xy_dst, level_dst, dst_ok, desc_dst):
+        Xc = Xc_src @ sR.T + tt
+        z = Xc[..., 2]
+        zs = jnp.maximum(z, 1e-9)
+        u = cam.fx * Xc[..., 0] / zs + cam.cx
+        v = cam.fy * Xc[..., 1] / zs + cam.cy
+        dist = jnp.linalg.norm(Xc, axis=-1)   # ref: dist3D = |p3Dc|
+        visible = (src_ok & (z > 0.0)
+                   & (u >= 0) & (u < cam.width)
+                   & (v >= 0) & (v < cam.height)
+                   & (dist >= 0.8 * mind) & (dist <= 1.2 * maxd))
+        ratio = jnp.maximum(maxd, 1e-9) / jnp.maximum(dist, 1e-9)
+        pred = jnp.clip(jnp.ceil(jnp.log(ratio) / log_sf)
+                        .astype(jnp.int32), 0, n_levels - 1)
+        radius = th * sf[pred]
+        gate = (matching.window_gate(jnp.stack([u, v], 1), xy_dst, radius)
+                & matching.level_gate(pred, level_dst,
+                                      min_delta=-1, max_delta=0)
+                & visible[:, None] & dst_ok[None, :])
+        res = matching.gated_nn(desc_src, desc_dst, gate, max_dist=100.0)
+        return jnp.where(res.ok & visible, res.idx, -1)
+
+    m12 = one_direction(Xc1, has1 & ~already1, desc1, mind1, maxd1,
+                        sR21, t21, xy2, level2, has2 & ~already2, desc2)
+    m21 = one_direction(Xc2, has2 & ~already2, desc2, mind2, maxd2,
+                        sR12, t12, xy1, level1, has1 & ~already1, desc1)
+
+    # mutual agreement (reference :1300-1320)
+    n1 = Xc1.shape[0]
+    back = m21[jnp.clip(m12, 0, None)]
+    agree = (m12 >= 0) & (back == jnp.arange(n1, dtype=m21.dtype))
+    return Sim3SearchResult(match12=jnp.where(agree, m12, -1), ok=agree)
 
 
 def bucket_size(n: int, minimum: int = 1024) -> int:
