@@ -160,8 +160,141 @@ class FolderSource(FrameSource):
         return self._cam
 
 
+class NetworkSource(FrameSource):
+    """TCP network stream: the live-sensor path when the camera hangs off
+    another machine (the common TPU deployment — the sensor host runs
+    `python apps/rgbd_live.py --serve PORT` next to the camera and this
+    process tracks). Replaces the reference's in-process OpenNI2 capture
+    (reference: Examples/RGB-D/rgbd_xtion_cc.cpp:37-57) with a socket
+    hop.
+
+    Wire format: one JSON hello line
+    `{"w","h","fx","fy","cx","cy","depth_factor"}\\n`, then per frame a
+    big-endian u32 payload length + payload = f64 timestamp, u16[H,W]
+    depth (depth_factor quantized), u8[H,W,3] rgb.
+    """
+
+    MAGIC = b"ORBD"
+
+    def __init__(self, host: str = "127.0.0.1", port: int = 7075,
+                 timeout: float = 10.0):
+        self.host, self.port, self.timeout = host, port, timeout
+        self._sock = None
+        self._hdr = None
+
+    def open(self) -> bool:
+        import json
+        import socket
+
+        try:
+            self._sock = socket.create_connection(
+                (self.host, self.port), timeout=self.timeout)
+        except OSError as e:
+            print(f"no stream at {self.host}:{self.port} ({e})")
+            return False
+        f = self._sock.makefile("rb")
+        self._f = f
+        magic = f.read(4)
+        if magic != self.MAGIC:
+            print("bad stream magic")
+            return False
+        self._hdr = json.loads(f.readline().decode())
+        return True
+
+    def _read_exact(self, n: int):
+        buf = self._f.read(n)
+        return buf if buf is not None and len(buf) == n else None
+
+    def grab(self):
+        import struct
+
+        head = self._read_exact(4)
+        if head is None:
+            return None
+        (length,) = struct.unpack("!I", head)
+        if length == 0:       # clean end-of-stream marker
+            return None
+        payload = self._read_exact(length)
+        if payload is None:
+            return None
+        h, w = self._hdr["h"], self._hdr["w"]
+        (ts,) = struct.unpack_from("!d", payload, 0)
+        off = 8
+        depth = np.frombuffer(payload, np.uint16, h * w, off)
+        depth = depth.reshape(h, w).astype(np.float32) \
+            / self._hdr["depth_factor"]
+        off += 2 * h * w
+        rgb = np.frombuffer(payload, np.uint8, 3 * h * w, off)
+        rgb = rgb.reshape(h, w, 3)
+        gray = (rgb.astype(np.float32) @ np.array(
+            [0.299, 0.587, 0.114], np.float32))
+        return ts, gray, depth, rgb
+
+    def close(self):
+        if self._sock is not None:
+            self._sock.close()
+
+    @property
+    def camera(self):
+        from orb_slam2_map_tpu.geom.camera import PinholeCamera
+
+        hd = self._hdr
+        return PinholeCamera(fx=hd["fx"], fy=hd["fy"], cx=hd["cx"],
+                             cy=hd["cy"], width=hd["w"], height=hd["h"])
+
+
+def serve_frames(port: int, frames, cam, depth_factor: float = 5000.0,
+                 fps: float = 0.0, host: str = "127.0.0.1",
+                 ready=None) -> int:
+    """Sensor-side streamer for NetworkSource: serves `frames` (an
+    iterable of (ts, gray, depth_m, rgb)) to ONE client, paced at `fps`
+    (0 = as fast as the socket drains). Returns frames sent."""
+    import json
+    import socket
+    import struct
+
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind((host, port))
+    srv.listen(1)
+    if ready is not None:
+        ready.set()
+    conn, _ = srv.accept()
+    hello = {"w": cam.width, "h": cam.height, "fx": cam.fx, "fy": cam.fy,
+             "cx": cam.cx, "cy": cam.cy, "depth_factor": depth_factor}
+    out = conn.makefile("wb")
+    out.write(NetworkSource.MAGIC)
+    out.write((json.dumps(hello) + "\n").encode())
+    sent, t0 = 0, time.perf_counter()
+    for ts, gray, depth, rgb in frames:
+        if fps > 0:
+            due = t0 + sent / fps
+            now = time.perf_counter()
+            if now < due:
+                time.sleep(due - now)
+        d16 = np.clip(depth * depth_factor, 0, 65535)
+        # clip-invalidate: out-of-range depth becomes 0 = no measurement
+        d16 = np.where(depth * depth_factor > 65535, 0, d16)
+        d16 = d16.astype(">u2")
+        if rgb is None:
+            g = np.clip(gray, 0, 255).astype(np.uint8)
+            rgb = np.stack([g, g, g], axis=-1)
+        payload = struct.pack("!d", float(ts)) + d16.tobytes() \
+            + np.ascontiguousarray(rgb, np.uint8).tobytes()
+        out.write(struct.pack("!I", len(payload)))
+        out.write(payload)
+        out.flush()
+        sent += 1
+    out.write(struct.pack("!I", 0))
+    out.flush()
+    out.close()
+    conn.close()
+    srv.close()
+    return sent
+
+
 SOURCES = {"openni": OpenNISource, "synthetic": SyntheticSource,
-           "folder": FolderSource}
+           "folder": FolderSource, "network": NetworkSource}
 
 
 def main():
@@ -179,7 +312,36 @@ def main():
                    help="viewer snapshot directory")
     p.add_argument("--web", type=int, default=None,
                    help="serve the live web viewer on this port")
+    p.add_argument("--serve", type=int, default=None,
+                   help="sensor-side mode: stream the chosen source "
+                        "over TCP on this port instead of tracking")
+    p.add_argument("--host", default="127.0.0.1",
+                   help="network source/serve host")
+    p.add_argument("--port", type=int, default=7075,
+                   help="network source port")
     args = p.parse_args()
+
+    if args.serve:
+        # sensor host: capture locally, stream to the tracking machine
+        if args.source == "folder":
+            src = FolderSource(args.root or ".", fps=args.fps,
+                               settings=args.settings)
+        else:
+            src = SyntheticSource(fps=args.fps, n_frames=args.frames)
+        if not src.open():
+            return 1
+
+        def _iter():
+            while True:
+                pkt = src.grab()
+                if pkt is None:
+                    return
+                yield pkt
+
+        n = serve_frames(args.serve, _iter(), src.camera,
+                         host=args.host)
+        print(f"streamed {n} frames")
+        return 0
 
     import jax
 
@@ -194,6 +356,8 @@ def main():
     elif args.source == "folder":
         src = FolderSource(args.root or ".", fps=args.fps,
                            settings=args.settings)
+    elif args.source == "network":
+        src = NetworkSource(host=args.host, port=args.port)
     else:
         src = SOURCES[args.source]()
     if not src.open():

@@ -39,8 +39,14 @@ def main():
     # KITTI settings: 2000 features (Examples/Stereo/KITTI00-02.yaml)
     cfg = SystemConfig(camera=seq.camera,
                        orb=ORBConfig(n_features=2000, max_keypoints=2048))
+    # size the map from the sequence: KITTI-00-class runs keep ~1 KF per
+    # 3 frames after culling (reference keeps KITTI 00's 4541 frames in
+    # ~1400 KFs) — cap at 2560 KFs / 2^18 points, bounded memory either way
+    n_kf = int(np.clip(len(seq) // 2, 512, 2560))
+    n_pt = (1 << 16) if n_kf <= 512 else (1 << 18)
     slam = SLAMSystem(cfg, Sensor.STEREO,
-                      enable_loop_closing=not args.no_loop)
+                      enable_loop_closing=not args.no_loop,
+                      max_keyframes=n_kf, max_points=n_pt)
 
     def step(i):
         t, gl, gr = seq[i]

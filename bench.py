@@ -31,7 +31,7 @@ def main():
                       os.path.expanduser("~/.cache/jax_comp_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    n_frames = int(os.environ.get("BENCH_FRAMES", "120"))
+    n_frames = int(os.environ.get("BENCH_FRAMES", "240"))
     n_step_iters = int(os.environ.get("BENCH_STEP_ITERS", "30"))
 
     from orb_slam2_map_tpu.config import SystemConfig

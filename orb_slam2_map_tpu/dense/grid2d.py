@@ -125,10 +125,10 @@ def grid_from_map(map_store: MapStore, cell_size: float = 0.05,
     grid = OccupancyGrid2D(all_x.min() - margin, all_x.max() + margin,
                            all_z.min() - margin, all_z.max() + margin,
                            cell_size)
-    incidence = map_store.incidence
     for k in kfs:
         k = int(k)
-        seen = np.nonzero(incidence[k])[0]
+        obs = map_store.kf_obs[k]
+        seen = np.unique(obs[obs >= 0])
         if len(seen) == 0:
             continue
         p = map_store.mp_pos[seen]

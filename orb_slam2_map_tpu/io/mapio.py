@@ -83,10 +83,10 @@ def load_map(path: str, m: MapStore) -> None:
     m.kf_origin = int(z["kf_origin"])
     m._next_kf = int(z["next_kf"])
     m._next_mp = int(z["next_mp"])
-    # rebuild incidence from kf_obs
-    m.incidence[:] = False
+    # rebuild observation counts from kf_obs
     m.mp_obs_count[:] = 0
+    m._counted_obs[:] = -1
     for k in np.nonzero(m.kf_exists)[0]:
-        m._rebuild_incidence_row(int(k))
+        m._refresh_obs_row(int(k))
     m.mark_all_points_dirty()
     m.version += 1

@@ -238,26 +238,128 @@ def sweep_trajectory(n_frames: int, size=(6.0, 3.0, 6.0),
     return Twc, ts
 
 
+class SensorNoiseModel:
+    """Realistic RGB-D sensor degradation for accuracy evaluation.
+
+    The clean synthetic world is geometrically exact; real TUM-class
+    sensors are not. This model layers the dominant effects of a
+    structured-light RGB-D camera (Kinect-class, the reference's TUM
+    data, reference: Examples/RGB-D/TUM1.yaml DepthMapFactor=5000):
+
+      * depth: zero-mean Gaussian with the Khoshelham-Elberink
+        quadratic law sigma(z) = a + b*z^2, random dropout (invalid
+        pixels), and u16 quantization at 1/factor metres;
+      * intensity: Gaussian read noise, slow sinusoidal exposure drift
+        (auto-exposure hunting), and directional motion blur whose
+        length follows the inter-frame pixel motion.
+    """
+
+    def __init__(self, depth_sigma_base: float = 0.0012,
+                 depth_sigma_quad: float = 0.0019,
+                 depth_dropout: float = 0.02,
+                 depth_factor: float = 5000.0,
+                 read_noise: float = 2.0,
+                 exposure_drift: float = 0.15,
+                 exposure_period_s: float = 4.0,
+                 shutter_fraction: float = 0.35,
+                 motion_blur_px: float = 5.0,
+                 seed: int = 1):
+        self.depth_sigma_base = depth_sigma_base
+        self.depth_sigma_quad = depth_sigma_quad
+        self.depth_dropout = depth_dropout
+        self.depth_factor = depth_factor
+        self.read_noise = read_noise
+        self.exposure_drift = exposure_drift
+        self.exposure_period_s = exposure_period_s
+        self.shutter_fraction = shutter_fraction   # shutter-open fraction
+        self.motion_blur_px = motion_blur_px       # cap on blur length
+        self.rng = np.random.default_rng(seed)
+
+    def apply(self, t: float, gray: np.ndarray, depth: np.ndarray,
+              flow_px: Tuple[float, float] = (0.0, 0.0)):
+        rng = self.rng
+        # --- depth ---
+        valid = depth > 0
+        sigma = self.depth_sigma_base + self.depth_sigma_quad * depth ** 2
+        depth = depth + sigma * rng.standard_normal(depth.shape).astype(
+            np.float32)
+        if self.depth_dropout > 0:
+            drop = rng.random(depth.shape) < self.depth_dropout
+            valid = valid & ~drop
+        if self.depth_factor > 0:   # u16 quantization like the datasets
+            q = np.round(depth * self.depth_factor)
+            depth = (np.clip(q, 0, 65535) / self.depth_factor).astype(
+                np.float32)
+        depth = np.where(valid, depth, 0.0).astype(np.float32)
+
+        # --- intensity ---
+        if self.motion_blur_px > 0:
+            # blur streak length = image motion during the open shutter
+            # (flow px/frame * shutter fraction), capped; odd tap count
+            # keeps the kernel symmetric so corners aren't biased
+            length = min(float(np.hypot(*flow_px)) * self.shutter_fraction,
+                         self.motion_blur_px)
+            n = max(1, int(round(length)) | 1)
+            if n > 1:
+                du, dv = flow_px
+                norm = max(float(np.hypot(du, dv)), 1e-6)
+                du, dv = du / norm, dv / norm
+                acc = np.zeros_like(gray)
+                for k in range(n):   # odd tap count along the motion
+                    s = (k - (n - 1) / 2.0)
+                    acc += np.roll(np.roll(gray, int(round(s * dv)), 0),
+                                   int(round(s * du)), 1)
+                gray = acc / n
+        gain = 1.0 + self.exposure_drift * np.sin(
+            2.0 * np.pi * t / self.exposure_period_s)
+        gray = gray * gain
+        if self.read_noise > 0:
+            gray = gray + self.read_noise * rng.standard_normal(
+                gray.shape)
+        gray = np.clip(gray, 0, 255).astype(np.float32)
+        return gray, depth
+
+
 class SyntheticRGBDSequence:
     """Dataset-like wrapper: iterates (timestamp, gray, depth, rgb) and keeps
-    ground-truth camera-to-world poses in `.gt_Twc`."""
+    ground-truth camera-to-world poses in `.gt_Twc`. Pass `noise=` a
+    SensorNoiseModel (or noise=True for TUM-like defaults) to evaluate
+    under realistic sensor degradation instead of exact renders."""
 
     def __init__(self, world: SyntheticWorld, Twc: np.ndarray,
                  timestamps: np.ndarray,
                  depth_noise: float = 0.0, intensity_noise: float = 0.0,
-                 seed: int = 1):
+                 noise=None, seed: int = 1):
         self.world = world
         self.gt_Twc = Twc
         self.timestamps = timestamps
         self.depth_noise = depth_noise
         self.intensity_noise = intensity_noise
+        if noise is True:
+            noise = SensorNoiseModel(seed=seed)
+        self.noise = noise
         self.rng = np.random.default_rng(seed)
 
     def __len__(self):
         return len(self.timestamps)
 
+    def _flow_px(self, i: int) -> Tuple[float, float]:
+        """Mean image-plane motion (px) between frame i-1 and i: drives
+        the directional motion-blur length."""
+        if i == 0:
+            return (0.0, 0.0)
+        cam = self.world.cam
+        # translation of the view center projected with mean depth ~2 m
+        d = self.gt_Twc[i, :3, 3] - self.gt_Twc[i - 1, :3, 3]
+        dc = self.gt_Twc[i, :3, :3].T @ d
+        z = 2.0
+        return (float(cam.fx * dc[0] / z), float(cam.fy * dc[1] / z))
+
     def __getitem__(self, i: int):
         gray, depth, rgb = self.world.render(self.gt_Twc[i])
+        if self.noise is not None:
+            gray, depth = self.noise.apply(float(self.timestamps[i]),
+                                           gray, depth, self._flow_px(i))
         if self.depth_noise > 0:
             depth = depth * (
                 1.0 + self.depth_noise * self.rng.standard_normal(depth.shape)

@@ -41,17 +41,19 @@ def unpack_pm1(desc: jnp.ndarray) -> jnp.ndarray:
 _USE_PALLAS = None
 
 
-def _use_pallas() -> bool:
-    """Route gated_nn through the Pallas XOR+popcount kernel
-    (ORB_TPU_PALLAS=1, TPU only).
+def _use_pallas(standalone: bool = False) -> bool:
+    """Pallas XOR+popcount kernel routing policy (measured on v5e):
 
-    Off by default after measurement on v5e: standalone, the Pallas
-    matcher beats the MXU unpack-matmul (1.0 vs 1.5 ms at 1221^2), but
-    inside the fused tracking programs XLA's ability to fuse the gate
-    production and NN selection around the matmul wins (motion step
-    4.1 ms XLA vs 4.4 ms Pallas). Kept as the fallback for shapes/gens
-    where the MXU path regresses, and as the batch matcher for offline
-    workloads (vocabulary scoring, multi-session map merge)."""
+    * INSIDE fused tracking programs the MXU unpack-matmul wins because
+      XLA fuses the gate production and NN selection around the matmul
+      (motion step 4.1 ms XLA vs 4.4 ms Pallas) — the Pallas call
+      boundary forces the [N, M] gate through HBM. Off by default;
+      ORB_TPU_PALLAS=1 forces it for A/B measurement.
+    * STANDALONE dispatches whose gate is a host-built array (loop
+      closing's BoW match, offline batch matching) have no fusion to
+      lose: the Pallas kernel wins outright (1.0 vs 1.5 ms at 1221^2,
+      and the f32 distance matrix never materializes in HBM). On by
+      default on TPU via standalone=True; ORB_TPU_PALLAS=0 disables."""
     global _USE_PALLAS
     if _USE_PALLAS is None:
         import os
@@ -60,9 +62,13 @@ def _use_pallas() -> bool:
             plat = jax.devices()[0].platform
         except Exception:
             plat = "cpu"
-        _USE_PALLAS = (plat == "tpu"
-                       and os.environ.get("ORB_TPU_PALLAS") == "1")
-    return _USE_PALLAS
+        env = os.environ.get("ORB_TPU_PALLAS")
+        _USE_PALLAS = {"tpu": plat == "tpu", "env": env}
+    if not _USE_PALLAS["tpu"]:
+        return False
+    if _USE_PALLAS["env"] is not None:
+        return _USE_PALLAS["env"] == "1"
+    return standalone
 
 
 def hamming_matrix(desc_a: jnp.ndarray, desc_b: jnp.ndarray) -> jnp.ndarray:
@@ -102,12 +108,15 @@ class MatchResult(NamedTuple):
 
 def gated_nn(desc_a: jnp.ndarray, desc_b: jnp.ndarray,
              gate: jnp.ndarray, max_dist: float = 256.0,
-             ratio: Optional[float] = None) -> MatchResult:
+             ratio: Optional[float] = None,
+             standalone: bool = False) -> MatchResult:
     """Fused distance + gated nearest neighbor: the common core of every
-    Search* variant. On TPU this is ONE Pallas kernel (XOR+popcount +
-    masked argmin + second-best in VMEM, ops/pallas_kernels.py); the
-    portable path composes hamming_matrix + masked_nn."""
-    if _use_pallas():
+    Search* variant. Pass standalone=True when this is its own dispatch
+    with a host-built gate (loop closing, offline matching) — that
+    routes to the Pallas XOR+popcount kernel on TPU, which wins exactly
+    when there is no surrounding XLA program to fuse with (see
+    _use_pallas)."""
+    if _use_pallas(standalone):
         from . import pallas_kernels
 
         idx, best, second = pallas_kernels.gated_nn_pallas(desc_a, desc_b,

@@ -145,23 +145,29 @@ class Vocabulary:
 
 @functools.partial(jax.jit, static_argnums=(1, 2, 3))
 def _descend(desc, k: int, L: int, levelsup: int, centroids):
-    """Batched tree descent: L rounds of gather + Hamming argmin."""
-    from ..ops.matching import unpack_pm1
+    """Batched tree descent: L rounds of gather + XOR-popcount argmin.
 
-    d_pm = unpack_pm1(desc)                                  # [N, 256]
+    Gathers the k PACKED candidate centroids per descriptor first
+    ([N, k, 8] uint32, a few hundred KB) and popcounts the XOR — never
+    unpacking a whole level to +-1 floats, which at the reference's
+    1M-word ORBvoc leaf level (k=10, L=6; README.md:24) would
+    materialize a 1 GB tensor. Hamming-in-integer beats the MXU +-1
+    matmul here because the candidate set per descriptor is only k wide
+    — there is no big matmul to feed."""
+    from ..ops.matching import popcount32
+
     n = desc.shape[0]
     node = jnp.zeros(n, dtype=jnp.int32)                     # index in level
     direct = jnp.zeros(n, dtype=jnp.int32)
     offset = 0
     for level in range(1, L + 1):
         block = centroids[offset:offset + k ** level]        # [k^level, 8]
-        c_pm = unpack_pm1(block)                             # [k^level, 256]
-        child_base = node * k                                # [N]
-        # gather each descriptor's k candidate centroids
-        idx = child_base[:, None] + jnp.arange(k)[None, :]   # [N, k]
-        cand = c_pm[idx]                                     # [N, k, 256]
-        dot = jnp.einsum("nd,nkd->nk", d_pm, cand)
-        best = jnp.argmax(dot, axis=1).astype(jnp.int32)     # min hamming
+        child_base = node * k                                 # [N]
+        # gather each descriptor's k candidate centroids (packed)
+        idx = child_base[:, None] + jnp.arange(k)[None, :]    # [N, k]
+        cand = block[idx]                                     # [N, k, 8]
+        dist = popcount32(cand ^ desc[:, None, :]).sum(-1)    # [N, k]
+        best = jnp.argmin(dist, axis=1).astype(jnp.int32)
         node = child_base + best
         if level == L - levelsup:
             direct = node
@@ -254,6 +260,67 @@ def _kmedians(sub: np.ndarray, k: int, rng, iters: int) -> np.ndarray:
     return cents
 
 
+def synthesize_vocabulary(k: int, L: int, seed: int = 0,
+                          flips_root: int = 96) -> Vocabulary:
+    """Build a hierarchically-consistent vocabulary WITHOUT training:
+    level-1 centroids are random, each child perturbs its parent by a
+    decreasing number of random bit flips. Produces trees with the same
+    shape and descent statistics as a trained ORBvoc at any scale (used
+    to exercise the 1M-word k=10 L=6 configuration of the reference's
+    shipped vocabulary, reference README.md:24, without hours of
+    k-medians)."""
+    rng = np.random.default_rng(seed)
+    levels = []
+    parents = rng.integers(0, 2 ** 32, (1, 8), dtype=np.uint32)  # root
+    for level in range(1, L + 1):
+        n_nodes = k ** level
+        children = np.repeat(parents, k, axis=0)
+        if level == 1:
+            children = rng.integers(0, 2 ** 32, (n_nodes, 8),
+                                    dtype=np.uint32)
+        else:
+            n_flips = max(flips_root >> (level - 1), 4)
+            bit = rng.integers(0, 256, (n_nodes, n_flips))
+            rows = np.repeat(np.arange(n_nodes), n_flips)
+            w = (bit // 32).ravel()
+            b = (bit % 32).ravel().astype(np.uint32)
+            np.bitwise_xor.at(children, (rows, w),
+                              (np.uint32(1) << b))
+        levels.append(children)
+        parents = children
+    centroids = np.concatenate(levels, axis=0)
+    weights = rng.uniform(0.2, 1.0, k ** L).astype(np.float32)
+    return Vocabulary(k=k, L=L, centroids=centroids, weights=weights,
+                      levelsup=min(4, L - 1))
+
+
+def save_orbvoc_text(voc: Vocabulary, path: str):
+    """Write the DBoW2 text format (the inverse of load_orbvoc_text):
+    header 'k L scoring weighting', then one node per line in level
+    order: 'parent_file_id is_leaf d0..d31 weight'."""
+    k, L = voc.k, voc.L
+    offsets = np.concatenate([[0], np.cumsum([k ** l
+                                              for l in range(1, L + 1)])])
+    n = offsets[-1]
+    rows = np.zeros((n, 35), dtype=np.float64)
+    desc_bytes = np.ascontiguousarray(voc.centroids).view(np.uint8)
+    rows[:, 2:34] = desc_bytes.reshape(n, 32)
+    for lv in range(1, L + 1):
+        s, e = offsets[lv - 1], offsets[lv]
+        pos = np.arange(e - s)
+        if lv == 1:
+            rows[s:e, 0] = 0
+        else:
+            rows[s:e, 0] = 1 + offsets[lv - 2] + pos // k
+        if lv == L:
+            rows[s:e, 1] = 1
+            rows[s:e, 34] = voc.weights
+    fmt = "%d %d " + " ".join(["%d"] * 32) + " %.6g"
+    with open(path, "w") as f:
+        f.write(f"{k} {L} 0 0\n")
+        np.savetxt(f, rows, fmt=fmt)
+
+
 # ---------------------------------------------------------------------------
 # ORBvoc text-format converter (tools/bin_vocabulary.cc equivalent)
 # ---------------------------------------------------------------------------
@@ -262,56 +329,69 @@ def load_orbvoc_text(path: str) -> Vocabulary:
     """Parse the DBoW2 text vocabulary format: header 'k L scoring
     weighting', then one node per line: 'parent is_leaf d0..d31 weight'.
 
+    Vectorized for the reference's real 1M-word ORBvoc.txt
+    (k=10, L=6, ~1.1M lines / ~170 MB): every numeric column parses in
+    one np.loadtxt pass and the tree-position reconstruction runs as
+    array passes per level, so the full-size vocabulary converts in
+    seconds (the original per-line bit-twiddling parse took minutes).
+
     Non-complete trees are densified: missing children are filled with
     copies of the parent centroid (they never win an argmin against a
     real sibling unless the subtree was genuinely absent).
     """
     with open(path) as f:
         header = f.readline().split()
-        k, L = int(header[0]), int(header[1])
-        n_internal = sum(k ** l for l in range(1, L))
-        n_total = sum(k ** l for l in range(1, L + 1))
-        centroids = np.zeros((n_total, 8), dtype=np.uint32)
-        weights = np.zeros(k ** L, dtype=np.float32)
-        filled = np.zeros(n_total, dtype=bool)
+    k, L = int(header[0]), int(header[1])
+    n_total = sum(k ** l for l in range(1, L + 1))
+    offsets = np.concatenate([[0], np.cumsum([k ** l
+                                              for l in range(1, L + 1)])])
 
-        # reconstruct tree positions: children are listed in parent order
-        child_count = {}
-        level_of = {0: 0}
-        pos_in_level = {0: 0}
-        line_nodes = []
-        for line in f:
-            parts = line.split()
-            if len(parts) < 35:
-                continue
-            parent = int(parts[0])
-            desc = np.packbits(
-                np.asarray([[int(b) for b in f"{int(x):08b}"]
-                            for x in parts[2:34]], dtype=np.uint8)
-            ).view(np.uint32)
-            weight = float(parts[34])
-            line_nodes.append((parent, desc, weight))
+    data = np.loadtxt(path, skiprows=1, ndmin=2)          # [n, 35]
+    if data.shape[0] == 0:
+        raise ValueError(f"empty vocabulary file: {path}")
+    parent = data[:, 0].astype(np.int64)                  # 1-based file ids
+    # descriptor bytes -> packed uint32 (same byte order as ops.orb)
+    desc = np.ascontiguousarray(
+        data[:, 2:34].astype(np.uint8)).view(np.uint32)   # [n, 8]
+    node_w = data[:, 34].astype(np.float32)
+    n = len(parent)
 
-        for i, (parent, desc, weight) in enumerate(line_nodes, start=1):
-            level_of[i] = level_of[parent] + 1
-            c = child_count.get(parent, 0)
-            child_count[parent] = c + 1
-            pos_in_level[i] = pos_in_level[parent] * k + c
-            lvl = level_of[i]
-            off = sum(k ** l for l in range(1, lvl))
-            idx = off + pos_in_level[i]
-            if idx < n_total:
-                centroids[idx] = desc
-                filled[idx] = True
-                if lvl == L:
-                    weights[pos_in_level[i]] = weight
-        # densify: unfilled nodes copy their parent
-        off_prev = 0
-        for lvl in range(2, L + 1):
-            off = sum(k ** l for l in range(1, lvl))
-            for j in range(k ** lvl):
-                if not filled[off + j]:
-                    centroids[off + j] = centroids[off_prev + j // k]
-            off_prev = off
-        return Vocabulary(k=k, L=L, centroids=centroids, weights=weights,
-                          levelsup=min(4, L - 1))
+    # level of each node: parents always precede children in the file,
+    # so one vectorized gather per level closes the fixpoint in L passes
+    level_of = np.zeros(n + 1, dtype=np.int32)            # [0]=root
+    for _ in range(L):
+        level_of[1:] = level_of[parent] + 1
+    # position within its level: children of one parent are contiguous
+    # in the file (DBoW2 saves parent-major), so the rank of a node
+    # among its siblings is its index among equal-parent lines
+    order = np.argsort(parent, kind="stable")
+    ranks = np.empty(n, dtype=np.int64)
+    sorted_parent = parent[order]
+    new_group = np.concatenate([[True],
+                                sorted_parent[1:] != sorted_parent[:-1]])
+    group_start = np.maximum.accumulate(
+        np.where(new_group, np.arange(n), 0))
+    ranks[order] = np.arange(n) - group_start
+
+    pos_in_level = np.zeros(n + 1, dtype=np.int64)
+    for _ in range(L):
+        pos_in_level[1:] = pos_in_level[parent] * k + ranks
+
+    centroids = np.zeros((n_total, 8), dtype=np.uint32)
+    weights = np.zeros(k ** L, dtype=np.float32)
+    filled = np.zeros(n_total, dtype=bool)
+    lvl = level_of[1:]
+    idx = offsets[lvl - 1] + pos_in_level[1:]
+    ok = (lvl >= 1) & (lvl <= L) & (idx < n_total)
+    centroids[idx[ok]] = desc[ok]
+    filled[idx[ok]] = True
+    leaf = ok & (lvl == L)
+    weights[pos_in_level[1:][leaf]] = node_w[leaf]
+
+    # densify: unfilled nodes copy their parent (vectorized per level)
+    for lv in range(2, L + 1):
+        off, off_prev = offsets[lv - 1], offsets[lv - 2]
+        j = np.nonzero(~filled[off:off + k ** lv])[0]
+        centroids[off + j] = centroids[off_prev + j // k]
+    return Vocabulary(k=k, L=L, centroids=centroids, weights=weights,
+                      levelsup=min(4, L - 1))

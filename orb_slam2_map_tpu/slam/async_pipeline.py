@@ -157,7 +157,8 @@ class AsyncRGBDPipeline:
 
         # --- async steady state ---
         self.tracker.frame_id = fid
-        self._inflight_sem.acquire()
+        with profiling.stage("pipeline/backpressure"):
+            self._inflight_sem.acquire()
         pub = self._published
         th = 3.0
         if fid - self.tracker.last_reloc_frame_id < int(self.cfg.camera.fps):
@@ -171,18 +172,26 @@ class AsyncRGBDPipeline:
         # TPUs. Depths beyond the u16 range are INVALIDATED (0 = no
         # depth), not saturated: a clipped far point would otherwise get
         # a corrupted pseudo-stereo constraint.
-        qf = float(self.cfg.depth_map_factor) or 5000.0
-        d = np.asarray(depth) * qf
-        depth_u16 = np.where(d > 65535.0, 0.0, d).astype(np.uint16)
-        gray_u8, depth_f32, ctrl = jax.device_put(
-            (np.asarray(gray, dtype=np.uint8), depth_u16,
-             np.asarray([th, float(min_inl), 1.0, 1.0 / qf],
-                        dtype=np.float32)))
-        self._carry, packed, f = pipeline_step.fused_frame_step(
-            self.cfg, self._carry, gray_u8, depth_f32, ctrl,
-            pub.cols["mp_pos"], pub.cols["mp_desc"], pub.cols["mp_normal"],
-            pub.cols["mp_min_dist"], pub.cols["mp_max_dist"],
-            pub.mp_alive, pub.mids_dev, pub.mp_valid_dev)
+        with profiling.stage("pipeline/upload"):
+            qf = float(self.cfg.depth_map_factor) or 5000.0
+            d = np.asarray(depth) * qf
+            depth_u16 = np.where(d > 65535.0, 0.0, d).astype(np.uint16)
+            gray_u8, depth_f32, ctrl = jax.device_put(
+                (np.asarray(gray, dtype=np.uint8), depth_u16,
+                 np.asarray([th, float(min_inl), 1.0, 1.0 / qf],
+                            dtype=np.float32)))
+        with profiling.stage("pipeline/dispatch"):
+            self._carry, packed, f = pipeline_step.fused_frame_step(
+                self.cfg, self._carry, gray_u8, depth_f32, ctrl,
+                pub.cols["mp_pos"], pub.cols["mp_desc"], pub.cols["mp_normal"],
+                pub.cols["mp_min_dist"], pub.cols["mp_max_dist"],
+                pub.mp_alive, pub.mids_dev, pub.mp_valid_dev)
+        # start the device->host copy of the packed result NOW: the copy
+        # overlaps with later frames' compute and the fetcher's blocking
+        # materialize becomes a short wait instead of a full tunnel RTT
+        # (~70 ms per batch measured, the end-to-end fps ceiling)
+        if hasattr(packed, "copy_to_host_async"):
+            packed.copy_to_host_async()
         with self._pending_cv:
             self._pending_results += 1
         self._fetch_q.put(_InFlight(fid=fid, ts=ts, packed=packed, frame=f,
@@ -236,13 +245,25 @@ class AsyncRGBDPipeline:
     def _publish(self, bindings: Optional[np.ndarray]):
         """Build + swap the published device snapshot (supervisor/main
         thread under map lock)."""
-        cols = dict(self.map.device_point_arrays())
-        mp_alive = jnp.asarray(self.map.mp_exists)
+        with profiling.stage("pipeline/publish"):
+            self._publish_inner(bindings)
+
+    def _publish_inner(self, bindings: Optional[np.ndarray]):
+        with profiling.stage("pipeline/publish_cols"):
+            cols = dict(self.map.device_point_arrays())
+            mp_alive = jnp.asarray(self.map.mp_exists)
         if bindings is None:
             bindings = np.full(self.map.N, -1, dtype=np.int64)
-        cand = self.tracker._local_candidates(
+        with profiling.stage("pipeline/publish_cand"):
+            cand = self._publish_cand(bindings)
+        return self._publish_finish(cols, mp_alive, cand)
+
+    def _publish_cand(self, bindings):
+        return self.tracker._local_candidates(
             np.where(self.map.mp_exists[np.clip(bindings, 0, None)]
                      & (bindings >= 0), bindings, -1))
+
+    def _publish_finish(self, cols, mp_alive, cand):
         if cand is None:
             # fall back to the most-observed points
             mids = np.nonzero(self.map.mp_exists)[0][:LOCAL_POINT_CAP]
@@ -257,8 +278,9 @@ class AsyncRGBDPipeline:
             valid = np.concatenate([np.ones(len(mids), bool),
                                     np.zeros(LOCAL_POINT_CAP - len(mids),
                                              bool)])
-        mids_dev, valid_dev = jax.device_put(
-            (mids_p.astype(np.int32), valid))
+        with profiling.stage("pipeline/publish_put"):
+            mids_dev, valid_dev = jax.device_put(
+                (mids_p.astype(np.int32), valid))
         self._published = Published(
             cols=cols, mp_alive=mp_alive, mids_np=mids,
             mids_dev=mids_dev, mp_valid_dev=valid_dev,
@@ -314,7 +336,10 @@ class AsyncRGBDPipeline:
                     self._running = False
                     break
                 batch.append(nxt)
-            arrs = transfer.fetch([b.packed for b in batch])
+            with profiling.stage("pipeline/fetch"):
+                arrs = transfer.fetch([b.packed for b in batch])
+            profiling.PROFILER.add_sample("pipeline/fetch_batchsz",
+                                          float(len(batch)))
             for b, a in zip(batch, arrs):
                 # the device work for this frame is done once its packed
                 # result is on host — release the in-flight slot here so
@@ -352,8 +377,9 @@ class AsyncRGBDPipeline:
                 return
             inflight, packed = item
             try:
-                with self._map_lock:
-                    self._process_result(inflight, packed)
+                with profiling.stage("pipeline/supervise"):
+                    with self._map_lock:
+                        self._process_result(inflight, packed)
             except Exception:  # pragma: no cover - supervisor must survive
                 import traceback
                 traceback.print_exc()
@@ -425,14 +451,25 @@ class AsyncRGBDPipeline:
                 and t._need_new_keyframe(
                     f, fake_cur, (close_tracked, close_untracked),
                     fid=inflight.fid)):
-            self._create_keyframe(inflight, R, tt, fake_cur)
+            with profiling.stage("pipeline/create_kf"):
+                self._create_keyframe(inflight, R, tt, fake_cur)
             self._publish(fake_cur)
             self._results_since_refresh = 0
         else:
             self._results_since_refresh += 1
-            # periodic candidate refresh: covisibility voting with lag
+            # periodic candidate refresh: covisibility voting with lag.
+            # Deliberately NOT triggered on every map-version bump — the
+            # mapper thread bumps the version continuously while working
+            # a keyframe, and republishing each time turns one KF into a
+            # storm of ~25 ms publishes that starves the supervisor
+            # (measured 91 publishes / 118 frames before the throttle)
+            # while the mapper thread is actively working a keyframe,
+            # defer the periodic refresh (both contend for the map lock
+            # and, on small hosts, the same cores) — with a safety valve
+            # so candidates can never go more than ~15 frames stale
             if (self._results_since_refresh >= 5
-                    or inflight.published.version != self.map.version):
+                    and (self._kf_q.unfinished_tasks == 0
+                         or self._results_since_refresh >= 15)):
                 self._publish(fake_cur)
                 self._results_since_refresh = 0
 
@@ -442,8 +479,10 @@ class AsyncRGBDPipeline:
         mapping (reference: src/Tracking.cc:1360-1445 + LocalMapping)."""
         t = self.tracker
         f = inflight.frame
-        host = transfer.fetch((f.xy, f.ur, f.depth, f.desc, f.level,
-                               f.angle, f.valid, f.inv_sigma2, f.response))
+        with profiling.stage("pipeline/create_kf_fetch"):
+            host = transfer.fetch((f.xy, f.ur, f.depth, f.desc, f.level,
+                                   f.angle, f.valid, f.inv_sigma2,
+                                   f.response))
         hf = frame_mod.Frame(
             xy=host[0], ur=host[1], depth=host[2], desc=host[3],
             level=host[4], angle=host[5], valid=host[6],

@@ -53,6 +53,22 @@ class LocalMapper:
 
     # ------------------------------------------------------------------
 
+    @contextlib.contextmanager
+    def _hold(self, name: str):
+        """Acquire the map lock, separately timing the wait (lock
+        contention with the supervisor) from the held section."""
+        with profiling.stage(f"local_mapping/lockwait_{name}"):
+            got = getattr(self.lock, "acquire", None)
+            if got is not None:
+                self.lock.acquire()
+        try:
+            yield
+        finally:
+            if got is not None:
+                self.lock.release()
+
+    # ------------------------------------------------------------------
+
     def process_keyframe(self, kid: int):
         """Full per-KF pipeline (reference: src/LocalMapping.cc:47-112
         Run): bookkeeping -> point culling -> triangulate new points ->
@@ -87,7 +103,8 @@ class LocalMapper:
         obs = self.map.kf_obs[kid]
         mids = np.unique(obs[obs >= 0])
         sf = np.asarray(self.cfg.orb.scale_factors, dtype=np.float32)
-        self.map.update_point_stats(mids, sf)
+        with profiling.stage("local_mapping/point_stats"):
+            self.map.update_point_stats(mids, sf)
         new_mask = self.map.mp_first_kf[mids] == kid
         self.recent_points.append(mids[new_mask])
         self.recent_kf.append(kid)
@@ -130,7 +147,7 @@ class LocalMapper:
         lcfg = self.cfg.local_mapping
         cam = self.cfg.camera
         n_neighbors = lcfg.triangulation_neighbors_stereo
-        with self.lock:   # consistent read of the candidate geometry
+        with self._hold("tri_read"):   # consistent candidate geometry
             neighbors = self.map.covisible_keyframes(kid,
                                                      top_n=n_neighbors)
             if len(neighbors) == 0:
@@ -165,6 +182,8 @@ class LocalMapper:
             # all pairs in ONE dispatch; ONE batched upload + ONE
             # download (each individual transfer pays a host<->device
             # round trip on networked TPU)
+            _t_tri = profiling.PROFILER.stage("local_mapping/tri_dispatch")
+            _t_tri.__enter__()
             args = jax.device_put((
                 R1, t1, self.map.kf_xy[kid], self.map.kf_level[kid],
                 self.map.kf_desc[kid], free1, self.map.kf_ur[kid],
@@ -173,10 +192,12 @@ class LocalMapper:
                 self.map.kf_desc[pad_arr], free2s,
                 self.map.kf_ur[pad_arr]))
             res = mapping_kernels.triangulate_pairs_batch(self.cfg, *args)
+            _t_tri.__exit__(None, None, None)
         # device round trip runs WITHOUT the map lock
-        ok_b, col_b, X_b = transfer.fetch((res.ok, res.kp2_idx, res.X))
+        with profiling.stage("local_mapping/tri_fetch"):
+            ok_b, col_b, X_b = transfer.fetch((res.ok, res.kp2_idx, res.X))
 
-        with self.lock:
+        with self._hold("tri_write"):
             new_all = []
             for j, nb in enumerate(nbs):
                 # drop keypoints consumed by earlier pairs or bound since
@@ -197,9 +218,10 @@ class LocalMapper:
                 new_all.append(mids)
             if new_all:
                 mids = np.concatenate(new_all)
-                self.map.update_point_stats(
-                    mids, np.asarray(self.cfg.orb.scale_factors,
-                                     np.float32))
+                with profiling.stage("local_mapping/tri_stats"):
+                    self.map.update_point_stats(
+                        mids, np.asarray(self.cfg.orb.scale_factors,
+                                         np.float32))
                 if len(self.recent_points):
                     self.recent_points[-1] = np.concatenate(
                         [self.recent_points[-1], mids])
@@ -213,7 +235,7 @@ class LocalMapper:
         src/ORBmatcher.cc:825-975 Fuse): project this KF's points into
         each neighbor; merge matches that hit a keypoint already bound to
         another point (keep the more-observed one)."""
-        with self.lock:
+        with self._hold("fuse_read"):
             first_ring = self.map.covisible_keyframes(kid, top_n=10)
             targets = list(first_ring)
             seen = set(targets) | {kid}
@@ -244,8 +266,9 @@ class LocalMapper:
             pulls.extend([fwd[2].ok, fwd[2].kp_idx])
         if rev is not None:
             pulls.extend([rev[2].ok, rev[2].kp_idx])
-        host = transfer.fetch(pulls)   # no map lock during the RTT
-        with self.lock:
+        with profiling.stage("local_mapping/fuse_fetch"):
+            host = transfer.fetch(pulls)   # no map lock during the RTT
+        with self._hold("fuse_write"):
             if fwd is not None:
                 targets_f, mids_p = fwd[0], fwd[1]
                 keep_b, kp_b = host[0], host[1]
@@ -261,8 +284,9 @@ class LocalMapper:
                 rows = np.nonzero(keep)[0]
                 self._apply_fuse(kid, rev[1], rows, kp_np[rows])
             # descriptors/normals + covisibility changed
-            self.map.update_point_stats(
-                own, np.asarray(self.cfg.orb.scale_factors, np.float32))
+            with profiling.stage("local_mapping/fuse_stats"):
+                self.map.update_point_stats(
+                    own, np.asarray(self.cfg.orb.scale_factors, np.float32))
             self.map.update_connections(kid)
 
     FUSE_TARGET_CAP = 24  # fixed vmap width for the forward fuse batch
@@ -330,6 +354,11 @@ class LocalMapper:
 
     def _apply_fuse(self, kid: int, mids: np.ndarray, rows: np.ndarray,
                     kp: np.ndarray):
+        with profiling.stage("local_mapping/apply_fuse"):
+            self._apply_fuse_inner(kid, mids, rows, kp)
+
+    def _apply_fuse_inner(self, kid: int, mids: np.ndarray,
+                          rows: np.ndarray, kp: np.ndarray):
         """Bind/merge accepted fuse matches into keyframe `kid`
         (reference Fuse bookkeeping, src/ORBmatcher.cc:825-975 +
         MapPoint::Replace, src/MapPoint.cc:177-215)."""
@@ -350,11 +379,12 @@ class LocalMapper:
                     self._replace_point(bound, mid)
             else:
                 self.map.kf_obs[kid, k] = mid
-        self.map._rebuild_incidence_row(kid)
+        self.map._refresh_obs_row(kid)
 
     def _replace_point(self, old: int, new: int):
         """Re-bind every observation of `old` to `new`, then erase `old`."""
-        ks = np.nonzero(self.map.incidence[:, old])[0]
+        eq = (self.map.kf_obs == old) & self.map.kf_exists[:, None]
+        ks = np.nonzero(eq.any(axis=1))[0]
         for k in ks:
             sel = self.map.kf_obs[k] == old
             # avoid double-binding new in the same KF
@@ -362,7 +392,7 @@ class LocalMapper:
                 self.map.kf_obs[k][sel] = -1
             else:
                 self.map.kf_obs[k][sel] = new
-            self.map._rebuild_incidence_row(k)
+            self.map._refresh_obs_row(k)
         self.map.mp_found[new] += self.map.mp_found[old]
         self.map.mp_visible[new] += self.map.mp_visible[old]
         self.map.mp_exists[old] = False
@@ -374,17 +404,18 @@ class LocalMapper:
         """Assemble the dense padded BA problem and run the jitted solver
         (reference: src/Optimizer.cc:453-778)."""
         mstore = self.map
-        with self.lock:
+        with self._hold("ba_read"):
             built = self._build_ba_inputs(kid)
         if built is None:
             return
         free_ids, fix_ids, mids, prob_np = built
         prob = jax.device_put(prob_np)          # ONE host->device transfer
         res = local_ba.local_ba_jit(self.cfg.camera, prob)
-        R_f, t_f, X_f, inl_f = transfer.fetch(   # ONE device->host, no lock
-            (res.R_free, res.t_free, res.X, res.inlier_free))
+        with profiling.stage("local_mapping/ba_fetch"):
+            R_f, t_f, X_f, inl_f = transfer.fetch(  # ONE d->h, no lock
+                (res.R_free, res.t_free, res.X, res.inlier_free))
 
-        with self.lock:
+        with self._hold("ba_write"):
             # write back poses + points
             K = len(free_ids)
             mstore.kf_R[free_ids] = R_f[:K]
@@ -405,7 +436,7 @@ class LocalMapper:
                 bad_mids = mids[rows]
                 sel = np.isin(mstore.kf_obs[k], bad_mids)
                 mstore.kf_obs[k][sel] = -1
-                mstore._rebuild_incidence_row(k)
+                mstore._refresh_obs_row(k)
             self.map.version += 1
 
     def _build_ba_inputs(self, kid: int):
@@ -417,7 +448,7 @@ class LocalMapper:
         if len(free_ids) == 0:
             return
         # points seen by the free KFs
-        inc = mstore.incidence[free_ids].any(axis=0) & mstore.mp_exists
+        inc = mstore.observed_mask(free_ids) & mstore.mp_exists
         mids = np.nonzero(inc)[0]
         if len(mids) == 0:
             return
@@ -425,7 +456,7 @@ class LocalMapper:
             order = np.argsort(-mstore.mp_obs_count[mids], kind="stable")
             mids = np.sort(mids[order[:BA_MAX_POINTS]])
         # fixed KFs: other observers of those points (+ origin if observer)
-        observers = mstore.incidence[:, mids].any(axis=1) & mstore.kf_exists
+        observers = (mstore.shared_counts(mids) > 0) & mstore.kf_exists
         observers[free_ids] = False
         fix_ids = np.nonzero(observers)[0]
         if len(fix_ids) > BA_MAX_FIXED:
@@ -442,26 +473,30 @@ class LocalMapper:
         P, K, F = BA_MAX_POINTS, BA_MAX_FREE, BA_MAX_FIXED
         n_free, n_fix, n_pts = len(free_ids), len(fix_ids), len(mids)
 
+        inv_sigma2 = 1.0 / np.asarray(self.cfg.orb.level_sigma2,
+                                      dtype=np.float32)
+        # mp id -> row index (shared by both grids)
+        row_of = np.full(mstore.M, -1, dtype=np.int64)
+        row_of[mids] = np.arange(n_pts)
+
         def grids(ids, C):
+            """One vectorized scatter over all (KF, keypoint) pairs."""
             uv = np.zeros((P, C, 2), dtype=np.float32)
             ur = np.full((P, C), -1.0, dtype=np.float32)
             iv = np.ones((P, C), dtype=np.float32)
             mask = np.zeros((P, C), dtype=bool)
-            inv_sigma2 = 1.0 / np.asarray(self.cfg.orb.level_sigma2,
-                                          dtype=np.float32)
-            # mp id -> row index
-            row_of = np.full(mstore.M, -1, dtype=np.int64)
-            row_of[mids] = np.arange(n_pts)
-            for j, k in enumerate(ids):
-                obs = mstore.kf_obs[k]
-                kp = np.nonzero(obs >= 0)[0]
-                rows = row_of[obs[kp]]
-                sel = rows >= 0
-                kp, rows = kp[sel], rows[sel]
-                uv[rows, j] = mstore.kf_xy[k][kp]
-                ur[rows, j] = mstore.kf_ur[k][kp]
-                iv[rows, j] = inv_sigma2[mstore.kf_level[k][kp]]
-                mask[rows, j] = True
+            if len(ids) == 0:
+                return uv, ur, iv, mask
+            obs = mstore.kf_obs[ids]                       # [C', N]
+            rows = row_of[np.clip(obs, 0, None)]
+            sel = (obs >= 0) & (rows >= 0)
+            jj = np.broadcast_to(np.arange(len(ids))[:, None],
+                                 obs.shape)[sel]
+            rr = rows[sel]
+            uv[rr, jj] = mstore.kf_xy[ids][sel]
+            ur[rr, jj] = mstore.kf_ur[ids][sel]
+            iv[rr, jj] = inv_sigma2[mstore.kf_level[ids][sel]]
+            mask[rr, jj] = True
             return uv, ur, iv, mask
 
         uv_f, ur_f, iv_f, m_f = grids(free_ids, K)

@@ -122,10 +122,13 @@ class LoopCloser:
             has1 = (obs1 >= 0) & m.mp_exists[np.clip(obs1, 0, None)]
             has2 = (obs2 >= 0) & m.mp_exists[np.clip(obs2, 0, None)]
             gate = has1[:, None] & has2[None, :]
-            dmat = matching.hamming_matrix(jnp.asarray(m.kf_desc[kid]),
-                                           jnp.asarray(m.kf_desc[cand]))
-            res = matching.masked_nn(dmat, jnp.asarray(gate),
-                                     max_dist=50.0, ratio=0.75)
+            # standalone dispatch with a host-built gate: Pallas
+            # XOR+popcount path (ops/matching._use_pallas policy)
+            res = matching.gated_nn(jnp.asarray(m.kf_desc[kid]),
+                                    jnp.asarray(m.kf_desc[cand]),
+                                    jnp.asarray(gate),
+                                    max_dist=50.0, ratio=0.75,
+                                    standalone=True)
             keep = np.asarray(matching.resolve_duplicates(
                 res.idx, res.dist, res.ok, m.N))
             rows = np.nonzero(keep)[0]
@@ -379,7 +382,7 @@ class LoopCloser:
                 if (m.kf_obs[kid] == lp).any():
                     continue   # already bound elsewhere in this KF
                 m.kf_obs[kid, k] = lp
-            m._rebuild_incidence_row(kid)
+            m._refresh_obs_row(kid)
 
         # fuse loop points into the corrected neighborhood (SearchAndFuse,
         # reference: src/LoopClosing.cc:585-611)

@@ -11,9 +11,11 @@ correction / global BA use the staged write-back discipline the
 reference implements with mTcwGBA (src/LoopClosing.cc:643-744).
 
 Covisibility (reference: src/KeyFrame.cc:327-417 UpdateConnections) is an
-integer weight matrix maintained incrementally from a KF x MapPoint
-incidence matrix; the spanning tree (:409-414, :491-583 re-parenting) is
-a parent array.
+integer weight matrix maintained incrementally by O(K*N) scans of the
+kf_obs observation table (the single source of truth — no dense KF x
+MapPoint incidence matrix, which would be O(K*M) ~ 1 GB at KITTI-00
+scale); the spanning tree (:409-414, :491-583 re-parenting) is a parent
+array.
 """
 
 from __future__ import annotations
@@ -64,11 +66,19 @@ class MapStore:
         self.mp_level = np.zeros(M, dtype=np.int32)  # level at creation
 
         # --- graph ---
-        self.incidence = np.zeros((K, M), dtype=bool)       # KF observes MP
-        # observation weights: stereo/RGB-D observations count 2, mono 1
-        # (reference: MapPoint::AddObservation nObs += 2 when mvuRight >= 0
-        # — this drives the keyframe policy and culling thresholds)
-        self.obs_weight = np.zeros((K, M), dtype=np.int8)
+        # kf_obs [K, N] is the single source of truth for observations.
+        # The former dense KF x MapPoint incidence/weight matrices were
+        # O(K*M) bytes — 1 GB at KITTI-00 scale (K=2048, M=2^18) — and
+        # every derived quantity (covisibility weights, observer lists,
+        # local-point unions) is an O(K*N) scan of kf_obs instead, which
+        # is ~256x smaller. Observation weights follow the reference:
+        # stereo/RGB-D observations count 2, mono 1 (MapPoint::
+        # AddObservation nObs += 2 when mvuRight >= 0 — this drives the
+        # keyframe policy and culling thresholds); the weight of (k, kp)
+        # is derived from kf_ur[k, kp] >= 0. _counted_obs mirrors the
+        # kf_obs rows as last folded into mp_obs_count so incremental
+        # refreshes can subtract the stale contribution.
+        self._counted_obs = np.full((K, N), -1, dtype=np.int64)
         self.covis = np.zeros((K, K), dtype=np.int32)
         self.parent = np.full(K, -1, dtype=np.int32)
         self.loop_edges: List[Tuple[int, int]] = []
@@ -159,38 +169,37 @@ class MapStore:
         self.kf_obs[kid] = obs
         if self.kf_origin < 0:
             self.kf_origin = kid
-        self._rebuild_incidence_row(kid)
+        self._refresh_obs_row(kid)
         self.update_connections(kid)
         self.version += 1
         return kid
 
-    def _rebuild_incidence_row(self, kid: int):
-        row = np.zeros(self.M, dtype=bool)
-        w_row = np.zeros(self.M, dtype=np.int8)
-        obs = self.kf_obs[kid]
-        valid = obs >= 0
-        row[obs[valid]] = True
-        kp = np.nonzero(valid)[0]
-        w_row[obs[kp]] = np.where(self.kf_ur[kid][kp] >= 0, 2, 1)
-        delta = w_row.astype(np.int32) - self.obs_weight[kid].astype(np.int32)
-        self.mp_obs_count += delta
-        self.incidence[kid] = row
-        self.obs_weight[kid] = w_row
+    def _refresh_obs_row(self, kid: int):
+        """Fold kf_obs[kid] changes into mp_obs_count: subtract the row's
+        previously-counted contribution, add the current one. Call after
+        any in-place mutation of kf_obs[kid]."""
+        w = np.where(self.kf_ur[kid] >= 0, 2, 1).astype(np.int32)
+        old = self._counted_obs[kid]
+        ov = old >= 0
+        if ov.any():
+            np.subtract.at(self.mp_obs_count, old[ov], w[ov])
+        new = self.kf_obs[kid]
+        nv = new >= 0
+        if nv.any():
+            np.add.at(self.mp_obs_count, new[nv], w[nv])
+        self._counted_obs[kid] = new
 
     def set_observation(self, kid: int, kp_idx: int, mid: int):
         old = self.kf_obs[kid, kp_idx]
         if old == mid:
             return
-        if old >= 0:
-            # another kp of this KF may still observe old; recompute lazily
-            pass
         self.kf_obs[kid, kp_idx] = mid
-        self._rebuild_incidence_row(kid)
+        self._refresh_obs_row(kid)
 
     def set_observations_bulk(self, kid: int, kp_idx: np.ndarray,
                               mids: np.ndarray):
         self.kf_obs[kid, kp_idx] = mids
-        self._rebuild_incidence_row(kid)
+        self._refresh_obs_row(kid)
 
     # ------------------------------------------------------------------
     # covisibility + spanning tree
@@ -200,10 +209,11 @@ class MapStore:
         """Recompute covisibility weights for one KF and set its spanning
         -tree parent on first connection (reference: src/KeyFrame.cc:
         327-417)."""
-        row = self.incidence[kid]
-        w = (self.incidence[self.kf_exists] @ row.astype(np.int64))
-        weights = np.zeros(self.K, dtype=np.int32)
-        weights[self.kf_exists] = w.astype(np.int32)
+        # shared-point counts against every other KF: one O(K*N) pass
+        # over kf_obs (a KF binds each point at most once, so counting
+        # matching entries counts shared points)
+        obs = self.kf_obs[kid]
+        weights = self.shared_counts(obs[obs >= 0])
         weights[kid] = 0
         self.covis[kid, :] = weights
         self.covis[:, kid] = weights
@@ -225,13 +235,34 @@ class MapStore:
 
     def point_observers(self, mid: int) -> Tuple[np.ndarray, np.ndarray]:
         """(kf_ids, kp_indices) observing map point `mid`."""
-        kfs = np.nonzero(self.incidence[:, mid] & self.kf_exists)[0]
-        idx = np.empty(len(kfs), dtype=np.int64)
-        for i, k in enumerate(kfs):
-            where = np.nonzero(self.kf_obs[k] == mid)[0]
-            idx[i] = where[0] if len(where) else -1
-        keep = idx >= 0
-        return kfs[keep], idx[keep]
+        eq = (self.kf_obs == mid) & self.kf_exists[:, None]
+        kfs, kps = np.nonzero(eq)
+        if len(kfs) == 0:
+            return kfs, kps
+        # a KF binds a point at most once; keep the first kp if not
+        first = np.concatenate([[True], kfs[1:] != kfs[:-1]])
+        return kfs[first], kps[first]
+
+    def observed_mask(self, kids: np.ndarray) -> np.ndarray:
+        """bool[M]: points observed by any of the given (existing) KFs."""
+        mask = np.zeros(self.M, dtype=bool)
+        if len(kids):
+            obs = self.kf_obs[kids]
+            mask[obs[obs >= 0]] = True
+        return mask
+
+    def shared_counts(self, mids: np.ndarray) -> np.ndarray:
+        """int32[K]: per-KF count of observations landing in `mids`
+        (covisibility votes). One O(K*N) scan of kf_obs."""
+        weights = np.zeros(self.K, dtype=np.int32)
+        if len(mids) == 0:
+            return weights
+        sel = np.zeros(self.M, dtype=bool)
+        sel[mids] = True
+        hit = sel[np.clip(self.kf_obs, 0, None)] & (self.kf_obs >= 0)
+        weights[:] = hit.sum(axis=1, dtype=np.int32)
+        weights *= self.kf_exists
+        return weights
 
     # ------------------------------------------------------------------
     # erasure (culling)
@@ -239,11 +270,8 @@ class MapStore:
 
     def erase_point(self, mid: int):
         """SetBadFlag (reference: src/MapPoint.cc:151-168)."""
-        ks = np.nonzero(self.incidence[:, mid])[0]
-        for k in ks:
-            self.kf_obs[k][self.kf_obs[k] == mid] = -1
-            self.incidence[k, mid] = False
-            self.obs_weight[k, mid] = 0
+        self.kf_obs[self.kf_obs == mid] = -1
+        self._counted_obs[self._counted_obs == mid] = -1
         self.mp_exists[mid] = False
         self.mp_obs_count[mid] = 0
         self.version += 1
@@ -253,9 +281,11 @@ class MapStore:
             return
         sel = np.zeros(self.M, dtype=bool)
         sel[mids] = True
-        self.kf_obs[np.isin(self.kf_obs, mids)] = -1
-        self.incidence[:, sel] = False
-        self.obs_weight[:, sel] = 0
+        hit = sel[np.clip(self.kf_obs, 0, None)] & (self.kf_obs >= 0)
+        self.kf_obs[hit] = -1
+        hitc = sel[np.clip(self._counted_obs, 0, None)] \
+            & (self._counted_obs >= 0)
+        self._counted_obs[hitc] = -1
         self.mp_exists[sel] = False
         self.mp_obs_count[sel] = 0
         self.version += 1
@@ -278,9 +308,8 @@ class MapStore:
         # reference runs a best-covisibility adoption loop; adopting the
         # grandparent preserves tree connectivity with the same asymptotics
         self.parent[children] = parent
-        obs = self.kf_obs[kid]
         self.kf_obs[kid] = -1
-        self._rebuild_incidence_row(kid)
+        self._refresh_obs_row(kid)
         self.kf_exists[kid] = False
         self.covis[kid, :] = 0
         self.covis[:, kid] = 0
@@ -423,38 +452,48 @@ class MapStore:
             import jax
 
             rows = np.nonzero(self._dirty_mp)[0]
-            B = 256
-            while B < len(rows):
-                B *= 2
-            rows_p = np.full(B, self.M, dtype=np.int64)  # pad -> dropped
-            rows_p[:len(rows)] = rows
-            idx = np.clip(rows_p, 0, self.M - 1)
-            payload = jax.device_put(
-                (rows_p.astype(np.int32), self.mp_pos[idx],
-                 self.mp_desc[idx], self.mp_normal[idx],
-                 self.mp_min_dist[idx], self.mp_max_dist[idx]))
-            self._dev = _scatter_point_rows(self._dev, *payload)
+            # FIXED chunk width: a growing power-of-two pad would compile
+            # a new scatter executable at every new size (measured as
+            # ~600 ms publish spikes); one static shape compiles once
+            B = 4096
+            for s in range(0, len(rows), B):
+                chunk = rows[s:s + B]
+                rows_p = np.full(B, self.M, dtype=np.int64)  # pad -> drop
+                rows_p[:len(chunk)] = chunk
+                idx = np.clip(rows_p, 0, self.M - 1)
+                payload = jax.device_put(
+                    (rows_p.astype(np.int32), self.mp_pos[idx],
+                     self.mp_desc[idx], self.mp_normal[idx],
+                     self.mp_min_dist[idx], self.mp_max_dist[idx]))
+                self._dev = _scatter_point_rows(self._dev, *payload)
         self._dirty_mp[:] = False
         self._dev_version = self.version
         return self._dev
 
 
+_SCATTER_JIT = None
+
+
 def _scatter_point_rows(cols, rows, pos, desc, normal, mind, maxd):
     """Jitted functional scatter of changed map-point rows into the
-    device-resident columns (row index == M pads drop out of range)."""
-    import jax
+    device-resident columns (row index == M pads drop out of range).
+    The jit wrapper is module-level: rebuilding it per call would
+    re-trace on every publish (measured as 100-270 ms publish spikes)."""
+    global _SCATTER_JIT
+    if _SCATTER_JIT is None:
+        import jax
 
-    @jax.jit
-    def upd(c, r, p, d, n, mn, mx):
-        return {
-            "mp_pos": c["mp_pos"].at[r].set(p, mode="drop"),
-            "mp_desc": c["mp_desc"].at[r].set(d, mode="drop"),
-            "mp_normal": c["mp_normal"].at[r].set(n, mode="drop"),
-            "mp_min_dist": c["mp_min_dist"].at[r].set(mn, mode="drop"),
-            "mp_max_dist": c["mp_max_dist"].at[r].set(mx, mode="drop"),
-        }
+        def upd(c, r, p, d, n, mn, mx):
+            return {
+                "mp_pos": c["mp_pos"].at[r].set(p, mode="drop"),
+                "mp_desc": c["mp_desc"].at[r].set(d, mode="drop"),
+                "mp_normal": c["mp_normal"].at[r].set(n, mode="drop"),
+                "mp_min_dist": c["mp_min_dist"].at[r].set(mn, mode="drop"),
+                "mp_max_dist": c["mp_max_dist"].at[r].set(mx, mode="drop"),
+            }
 
-    return upd(cols, rows, pos, desc, normal, mind, maxd)
+        _SCATTER_JIT = jax.jit(upd)
+    return _SCATTER_JIT(cols, rows, pos, desc, normal, mind, maxd)
 
 
 def _popcount_np(x: np.ndarray) -> np.ndarray:

@@ -41,7 +41,7 @@ class SLAMSystem:
                  enable_dense_mapping: bool = False,
                  async_mapping: bool = False,
                  background_gba: bool = False,
-                 pipeline_depth: int = 10,
+                 pipeline_depth: int = 24,
                  max_keyframes: int = 512, max_points: int = 1 << 16):
         from ..ops import orb
 

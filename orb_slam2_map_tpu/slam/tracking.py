@@ -453,7 +453,7 @@ class Tracker:
         self.ref_kf = int(local_kfs[0])
 
         # local points = union of observations of local KFs
-        inc = self.map.incidence[local_kfs].any(axis=0)
+        inc = self.map.observed_mask(local_kfs)
         inc &= self.map.mp_exists
         mids = np.nonzero(inc)[0]
         # exclude points already bound (they stay matched)
@@ -524,8 +524,7 @@ class Tracker:
         mids = cur_obs[cur_obs >= 0]
         if len(mids) == 0:
             return np.asarray([], dtype=np.int64)
-        votes = self.map.incidence[:, mids].sum(axis=1)
-        votes = votes * self.map.kf_exists
+        votes = self.map.shared_counts(mids)
         k1 = np.nonzero(votes > 0)[0]
         order = np.argsort(-votes[k1], kind="stable")
         k1 = k1[order]

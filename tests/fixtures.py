@@ -49,6 +49,11 @@ def make_tum_fixture(root: str, n_frames: int = 12):
     assoc = os.path.join(root, "associations.txt")
     with open(assoc, "w") as f:
         f.writelines(assoc_lines)
+    # rgb.txt for the monocular driver (mono_tum.cc LoadImages format)
+    with open(os.path.join(root, "rgb.txt"), "w") as f:
+        f.write("# timestamp filename\n")
+        f.writelines(line.split()[0] + " " + line.split()[1] + "\n"
+                     for line in assoc_lines)
     gt = os.path.join(root, "groundtruth.txt")
     write_tum(gt, ts, list(Twc))
     settings = os.path.join(root, "settings.yaml")

@@ -79,6 +79,35 @@ class TestDiskDrivers:
         mats = np.loadtxt(out)
         assert mats.shape[1] == 12   # KITTI 3x4 rows
 
+    def test_mono_tum_from_disk(self, tum_fixture, tmp_path, monkeypatch):
+        """Monocular TUM driver end-to-end from files (reference:
+        Examples/Monocular/mono_tum.cc): init from parallax, track, and
+        write the keyframe trajectory."""
+        root, assoc, gt, settings = tum_fixture
+        out = str(tmp_path / "kf_traj.txt")
+        app = _load_app("mono_tum")
+        monkeypatch.setattr(sys, "argv", [
+            "mono_tum", root, "--settings", settings, "--out", out,
+            "--no-loop"])
+        assert app.main() == 0
+        from orb_slam2_map_tpu.io import trajectory as tio
+
+        ts2, mats = tio.read_tum(out)
+        assert len(ts2) >= 2, "mono init produced no keyframes"
+
+    def test_mono_kitti_from_disk(self, tmp_path_factory, tmp_path,
+                                  monkeypatch):
+        root = str(tmp_path_factory.mktemp("kitti_mono"))
+        root, Twc_gt = make_kitti_fixture(root, n_frames=10)
+        out = str(tmp_path / "kf_traj.txt")
+        app = _load_app("mono_kitti")
+        monkeypatch.setattr(sys, "argv", [
+            "mono_kitti", root, "--out", out, "--no-loop"])
+        assert app.main() == 0
+        import os as _os
+
+        assert _os.path.exists(out)
+
     def test_rgbd_live_folder_source(self, tum_fixture, monkeypatch,
                                      capsys):
         root, assoc, gt, settings = tum_fixture
@@ -88,3 +117,35 @@ class TestDiskDrivers:
             "--settings", settings, "--fps", "1000"])
         assert app.main() == 0
         assert "live run:" in capsys.readouterr().out
+
+    def test_rgbd_live_network_source(self, monkeypatch, capsys):
+        """Sensor-host → tracker TCP stream (the rgbd_xtion_cc live path
+        with the capture on another machine): a server thread streams a
+        synthetic sequence, the app tracks from `--source network`."""
+        import socket
+        import threading
+
+        from orb_slam2_map_tpu.io.synthetic import (SyntheticRGBDSequence,
+                                                    SyntheticWorld,
+                                                    sweep_trajectory)
+
+        app = _load_app("rgbd_live")
+        world = SyntheticWorld()
+        Twc, ts = sweep_trajectory(8)
+        seq = SyntheticRGBDSequence(world, Twc, ts)
+        with socket.socket() as s:       # free port
+            s.bind(("127.0.0.1", 0))
+            port = s.getsockname()[1]
+        ready = threading.Event()
+        th = threading.Thread(
+            target=app.serve_frames, args=(port, iter(seq), world.cam),
+            kwargs={"ready": ready}, daemon=True)
+        th.start()
+        assert ready.wait(5.0)
+        monkeypatch.setattr(sys, "argv", [
+            "rgbd_live", "--source", "network", "--port", str(port)])
+        assert app.main() == 0
+        th.join(timeout=10.0)
+        assert not th.is_alive()
+        out = capsys.readouterr().out
+        assert "live run: 8 frames" in out

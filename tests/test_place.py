@@ -74,6 +74,65 @@ class TestVocabulary:
         assert vocabulary.hamming_np(a, a)[0, 0] == 0
 
 
+class TestORBvocScale:
+    """The reference ships a 1M-word ORBvoc (k=10, L=6, README.md:24);
+    the text converter and the device tree descent must work at that
+    shape, not just the 10k shipped vocab. The routine test runs the
+    same code paths at 100k words (k=10, L=5, ~12 MB text file); set
+    ORB_TPU_BIG_VOCAB=1 to run the full 1M-word configuration."""
+
+    def test_orbvoc_text_roundtrip_small(self, tmp_path):
+        voc = vocabulary.synthesize_vocabulary(k=10, L=3, seed=1)
+        p = str(tmp_path / "voc.txt")
+        vocabulary.save_orbvoc_text(voc, p)
+        voc2 = vocabulary.load_orbvoc_text(p)
+        assert (voc2.k, voc2.L) == (10, 3)
+        np.testing.assert_array_equal(voc.centroids, voc2.centroids)
+        np.testing.assert_allclose(voc.weights, voc2.weights, rtol=1e-5)
+        rng = np.random.default_rng(0)
+        d = rng.integers(0, 2 ** 32, (256, 8), dtype=np.uint32)
+        w1, n1 = voc.transform(d)
+        w2, n2 = voc2.transform(d)
+        np.testing.assert_array_equal(w1, w2)
+        np.testing.assert_array_equal(n1, n2)
+
+    def test_large_vocab_convert_and_descend(self, tmp_path):
+        import os
+        import time
+
+        big = os.environ.get("ORB_TPU_BIG_VOCAB") == "1"
+        L = 6 if big else 5
+        voc = vocabulary.synthesize_vocabulary(k=10, L=L, seed=2)
+        assert voc.n_words == 10 ** L
+        p = str(tmp_path / "voc_big.txt")
+        vocabulary.save_orbvoc_text(voc, p)
+        t0 = time.time()
+        voc2 = vocabulary.load_orbvoc_text(p)
+        t_load = time.time() - t0
+        assert t_load < 300.0, f"text convert took {t_load:.0f}s"
+        np.testing.assert_array_equal(voc.centroids, voc2.centroids)
+
+        rng = np.random.default_rng(1)
+        # descriptors near random leaves -> retrieval should hit the
+        # exact leaf word despite 4 flipped bits
+        leaf_off = voc.level_offset(L)
+        pick = rng.choice(10 ** L, 512, replace=False)
+        d = voc.centroids[leaf_off + pick].copy()
+        flips = rng.integers(0, 256, (512, 4))
+        for i in range(512):
+            for b in flips[i]:
+                d[i, b // 32] ^= np.uint32(1) << np.uint32(b % 32)
+        t0 = time.time()
+        words, _ = voc.transform(d)
+        t_first = time.time() - t0
+        t0 = time.time()
+        words, _ = voc.transform(d)
+        t_warm = time.time() - t0
+        hit = (words == pick).mean()
+        assert hit > 0.7, f"leaf retrieval {hit:.2f} at {10**L} words"
+        assert t_warm < 10.0, f"device descent {t_warm*1e3:.0f}ms"
+
+
 class TestKeyFrameDatabase:
     def test_loop_candidates_on_synthetic_map(self, descs):
         """Build a tiny map where KF0 and KF4 see the same descriptors."""

