@@ -89,18 +89,15 @@ def shard_problem(prob: gba.GBAProblem, n_shards: int
     return sharded, perm
 
 
-def distributed_global_ba(cam: PinholeCamera, prob: gba.GBAProblem,
-                          mesh: Mesh, axis: str = "data",
-                          iters: int = 10, cg_iters: int = 16
-                          ) -> gba.GBAResult:
-    """Run global BA with points + observations sharded over `axis`.
+@functools.lru_cache(maxsize=16)
+def _dist_gba_fn(cam: PinholeCamera, mesh: Mesh, axis: str,
+                 iters: int, cg_iters: int):
+    """Build + jit the sharded GBA program ONCE per (cam, mesh, config).
 
-    `prob` must already be laid out by shard_problem for
-    mesh.shape[axis] shards. Cameras are replicated; the per-CG-iteration
-    collective is one [K, 6] psum.
-    """
-    n = mesh.shape[axis]
-
+    The shard_map closure must be cached at module level: a fresh
+    closure per call has an empty jit cache, so every loop-closure GBA
+    chunk would re-trace and re-compile the whole LM loop (measured:
+    ~10 s per call on a virtual mesh vs sub-ms steady state)."""
     # fields passed positionally: flat specs sidestep NamedTuple-vs-tuple
     # pytree-structure mismatches in shard_map spec matching
     in_specs = (P(), P(), P(axis), P(),
@@ -114,18 +111,28 @@ def distributed_global_ba(cam: PinholeCamera, prob: gba.GBAProblem,
         res = gba.global_ba_inner(cam, p, iters, cg_iters, True, axis)
         return tuple(res)
 
+    return jax.jit(run)
+
+
+def distributed_global_ba(cam: PinholeCamera, prob: gba.GBAProblem,
+                          mesh: Mesh, axis: str = "data",
+                          iters: int = 10, cg_iters: int = 16
+                          ) -> gba.GBAResult:
+    """Run global BA with points + observations sharded over `axis`.
+
+    `prob` must already be laid out by shard_problem for
+    mesh.shape[axis] shards. Cameras are replicated; the per-CG-iteration
+    collective is one [K, 6] psum.
+    """
+    run = _dist_gba_fn(cam, mesh, axis, iters, cg_iters)
     return gba.GBAResult(*run(*prob))
 
 
-def distributed_global_ba_chunk(cam: PinholeCamera, prob: gba.GBAProblem,
-                                mesh: Mesh, axis: str = "data",
-                                iters: int = 5, cg_iters: int = 16,
-                                lam0=1e-5):
-    """Chunked distributed GBA for the background worker: same semantics
-    as gba.global_ba_chunk (damping carried across chunks, chi2-plateau
-    early exit) but with points/observations sharded over the mesh and
-    camera reductions psummed over ICI. Returns
-    (sharded problem with updated R/t/X, lam_out, n_iters_done)."""
+@functools.lru_cache(maxsize=16)
+def _dist_gba_chunk_fn(cam: PinholeCamera, mesh: Mesh, axis: str,
+                       iters: int, cg_iters: int):
+    """Jitted sharded LM chunk, cached per (cam, mesh, config) — see
+    _dist_gba_fn for why module-level caching is load-bearing."""
     in_specs = (P(), P(), P(axis), P(),
                 P(axis), P(axis), P(axis), P(axis), P(axis), P(axis), P())
     out_specs = ((P(), P(), P(axis), P(),
@@ -140,6 +147,19 @@ def distributed_global_ba_chunk(cam: PinholeCamera, prob: gba.GBAProblem,
                                           axis, fields[-1])
         return tuple(p_out), lam, n_done
 
+    return jax.jit(run)
+
+
+def distributed_global_ba_chunk(cam: PinholeCamera, prob: gba.GBAProblem,
+                                mesh: Mesh, axis: str = "data",
+                                iters: int = 5, cg_iters: int = 16,
+                                lam0=1e-5):
+    """Chunked distributed GBA for the background worker: same semantics
+    as gba.global_ba_chunk (damping carried across chunks, chi2-plateau
+    early exit) but with points/observations sharded over the mesh and
+    camera reductions psummed over ICI. Returns
+    (sharded problem with updated R/t/X, lam_out, n_iters_done)."""
+    run = _dist_gba_chunk_fn(cam, mesh, axis, iters, cg_iters)
     out, lam, n_done = run(*prob, jnp.asarray(lam0, jnp.float32))
     return gba.GBAProblem(*out), lam, n_done
 

@@ -45,12 +45,11 @@ def shard_edges(edges_ij: np.ndarray, edges_meas, edge_valid: np.ndarray,
             pad(np.asarray(edge_valid)))
 
 
-def distributed_pose_graph(poses, edges_ij, edges_meas, edge_valid,
-                           vertex_valid, fixed, mesh: Mesh,
-                           axis: str = "data", fix_scale: bool = True,
-                           iters: int = 20) -> pg.PoseGraphResult:
-    """Edge arrays must be pre-padded by shard_edges for
-    mesh.shape[axis]. Vertices are replicated."""
+@functools.lru_cache(maxsize=16)
+def _dist_pg_fn(mesh: Mesh, axis: str, fix_scale: bool, iters: int):
+    """Build + jit the sharded pose-graph program ONCE per (mesh,
+    config): a fresh shard_map closure per call has an empty jit cache
+    and re-traces/compiles the whole LM loop on every loop closure."""
     in_specs = ((P(), P(), P()),                 # poses (replicated)
                 P(axis),                          # edges_ij
                 (P(axis), P(axis), P(axis)),      # measurements
@@ -64,6 +63,16 @@ def distributed_pose_graph(poses, edges_ij, edges_meas, edge_valid,
                                   fix_scale, iters, axis)
         return tuple(res)
 
+    return jax.jit(run)
+
+
+def distributed_pose_graph(poses, edges_ij, edges_meas, edge_valid,
+                           vertex_valid, fixed, mesh: Mesh,
+                           axis: str = "data", fix_scale: bool = True,
+                           iters: int = 20) -> pg.PoseGraphResult:
+    """Edge arrays must be pre-padded by shard_edges for
+    mesh.shape[axis]. Vertices are replicated."""
+    run = _dist_pg_fn(mesh, axis, fix_scale, iters)
     out = run(tuple(poses), edges_ij, tuple(edges_meas), edge_valid,
               vertex_valid, fixed)
     return pg.PoseGraphResult(*out)
