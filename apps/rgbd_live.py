@@ -220,7 +220,9 @@ class NetworkSource(FrameSource):
         h, w = self._hdr["h"], self._hdr["w"]
         (ts,) = struct.unpack_from("!d", payload, 0)
         off = 8
-        depth = np.frombuffer(payload, np.uint16, h * w, off)
+        # wire format is big-endian u16 (serve_frames encodes '>u2');
+        # decoding with native order would byte-swap every depth value
+        depth = np.frombuffer(payload, np.dtype(">u2"), h * w, off)
         depth = depth.reshape(h, w).astype(np.float32) \
             / self._hdr["depth_factor"]
         off += 2 * h * w

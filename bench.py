@@ -1,5 +1,5 @@
 #!/usr/bin/env python
-"""Benchmark: tracked frames/s/chip + ATE on a synthetic RGB-D sequence.
+"""Benchmark: tracked frames/s/chip + ATE on synthetic RGB-D sequences.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 
@@ -10,8 +10,16 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 - vs_baseline = value / 30 fps, the reference's real-time design point
   (Examples/RGB-D/TUM1.yaml:23 Camera.fps; README claims real-time).
 - ate_cm = full-pipeline ATE RMSE vs ground truth on the synthetic
-  sweep (north-star target <= 2 cm; no TUM image data exists in this
-  environment, so the geometrically-exact synthetic world stands in).
+  sweep WITH the Kinect-law sensor noise model applied (north-star
+  target <= 2 cm; no TUM image data exists in this environment, so the
+  geometrically-exact synthetic world + SensorNoiseModel stands in).
+- *_full = the FULL system at its real operating point: async pipeline
+  + local mapping + dedicated loop-closing thread + background GBA +
+  dense mapping, on a loop-bearing noisy orbit (the reference runs all
+  threads concurrently, src/System.cc:107-133).
+- loop_* = per-stage loop-closure latency; loop_blocking_ms counts only
+  what blocks the map (Sim3 hypothesis compute runs lock-free on a
+  snapshot and GBA is backgrounded in live runs).
 """
 
 import json
@@ -32,26 +40,33 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     n_frames = int(os.environ.get("BENCH_FRAMES", "240"))
+    n_full = int(os.environ.get("BENCH_FULL_FRAMES", "600"))
     n_step_iters = int(os.environ.get("BENCH_STEP_ITERS", "30"))
 
     from orb_slam2_map_tpu.config import SystemConfig
     from orb_slam2_map_tpu.io import evaluate
-    from orb_slam2_map_tpu.io.synthetic import (SyntheticRGBDSequence,
+    from orb_slam2_map_tpu.io.synthetic import (SensorNoiseModel,
+                                                SyntheticRGBDSequence,
                                                 SyntheticWorld,
+                                                orbit_trajectory,
                                                 sweep_trajectory)
     from orb_slam2_map_tpu.slam import SLAMSystem, Sensor
+    from orb_slam2_map_tpu.utils import profiling
 
     world = SyntheticWorld()
     cfg = SystemConfig(camera=world.cam)
-    Twc, ts = sweep_trajectory(n_frames)
-    seq = SyntheticRGBDSequence(world, Twc, ts)
-    frames = [seq[i] for i in range(len(seq))]
 
-    # --- 1) full pipeline (asynchronous device-resident tracking):
-    #         ATE + end-to-end wall-clock fps, measured on a warm second
-    #         pass (first pass pays one-time jit compilation) ---
+    # --- 1) pipeline pass on the NOISY sweep (fr1-style): ATE under the
+    #        sensor noise model + end-to-end wall-clock fps, measured on
+    #        a warm second pass (first pays one-time jit compilation) ---
+    Twc, ts = sweep_trajectory(n_frames)
+    seq = SyntheticRGBDSequence(world, Twc, ts,
+                                noise=SensorNoiseModel(seed=0))
+    frames = [seq[i] for i in range(len(seq))]
     ate = pipeline_fps = 0.0
+    host_ms = {}
     for trial in range(2):
+        profiling.PROFILER.reset()
         slam = SLAMSystem(cfg, Sensor.RGBD, enable_loop_closing=False)
         t0 = time.perf_counter()
         for t, gray, depth, rgb in frames:
@@ -62,13 +77,18 @@ def main():
         pos_est = np.asarray([T[:3, 3] for T in Twc_est])
         ate = evaluate.ate_rmse(ts_est, pos_est, ts, Twc[:, :3, 3])
         pipeline_fps = len(frames) / wall
+        # dispatch-thread host cost per frame (device-utilization story)
+        summ = profiling.PROFILER.summary()
+        host_ms = {
+            k.split("/")[1]: round(v["mean_ms"], 2)
+            for k, v in summ.items()
+            if k in ("pipeline/upload", "pipeline/dispatch",
+                     "pipeline/backpressure")}
         slam.shutdown()
         if trial == 0 and wall > 240.0:
             break   # degraded network tunnel: skip the warm pass
 
     # --- 2) fused tracking step: device throughput (frames/s/chip) ---
-    import jax.numpy as jnp
-
     import __graft_entry__ as ge
 
     fn, args = ge.entry()
@@ -80,12 +100,26 @@ def main():
     jax.block_until_ready(out)
     step_fps = n_step_iters / (time.perf_counter() - t0)
 
-    # --- 3) loop-closure latency: Sim3 RANSAC + essential graph +
-    #         20-iteration global BA on reference-scale problems ---
+    # --- 3) FULL system on a loop-bearing noisy orbit: async pipeline +
+    #        mapping thread + loop thread + background GBA + dense ---
+    full = _bench_full_system(cfg, world, n_full)
+
+    # --- 4) loop-closure latency per stage ---
     loop_ms = _bench_loop_latency(cfg)
 
-    # --- 4) dense point-cloud fusion throughput ---
+    # --- 5) dense point-cloud fusion throughput ---
     dense_pps = _bench_dense(cfg, frames[0])
+
+    # --- 6) fuse/replace bookkeeping at KITTI-scale map capacity ---
+    fuse_ms = _bench_fuse_at_capacity()
+
+    # --- 7) reference-scale vocabulary: 1M words (k=10, L=6) ---
+    vocab1m = ({} if os.environ.get("BENCH_SKIP_VOCAB") == "1"
+               else _bench_vocab_1m())
+
+    qf = float(cfg.depth_map_factor) or 5000.0
+    upload_bytes = (cfg.camera.width * cfg.camera.height * (1 + 2)
+                    + 4 * 4)   # u8 gray + u16 depth + ctrl vector
 
     result = {
         "metric": "synthetic RGB-D tracking (fused step) frames/s/chip",
@@ -94,24 +128,153 @@ def main():
         "vs_baseline": round(float(step_fps) / 30.0, 3),
         "ate_cm": round(float(ate * 100), 3),
         "ate_ok": bool(ate * 100 <= 2.0),   # north-star gate (BASELINE.md)
+        "noise_model": "kinect_law+blur+exposure",
         "pipeline_fps": round(float(pipeline_fps), 2),
-        "loop_closure_ms": round(float(loop_ms), 1),
+        "pipeline_fps_full": full["fps"],
+        "ate_cm_full": full["ate_cm"],
+        "ate_full_ok": bool(full["ate_cm"] <= 2.0),
+        "loops_closed_full": full["loops"],
+        "keyframes_full": full["kfs"],
+        "max_consecutive_stall_frames": full["max_stall"],
+        "loop_sim3_ms": loop_ms["sim3"],
+        "loop_essential_ms": loop_ms["essential"],
+        "loop_gba_ms": loop_ms["gba"],
+        # what actually blocks the map in live runs: the lock-held
+        # correction (widen + Sim3 propagation + fuse + essential graph)
+        # measured in the full-system pass; falls back to the essential
+        # microbench when the orbit closed no loop
+        "loop_blocking_ms": (full["correct_ms_max"]
+                             if full.get("loops") else
+                             loop_ms["essential"]),
+        "loop_correct_ms_mean": full.get("correct_ms_mean", 0.0),
+        "loop_sim3_compute_ms_mean": full.get("sim3_compute_ms_mean",
+                                              0.0),
         "dense_fusion_pts_per_s": round(float(dense_pps)),
+        "fuse_round_ms_at_2048kf": fuse_ms,
+        "fused_step_ms": round(1000.0 / float(step_fps), 2),
+        "host_ms_per_frame": host_ms,
+        "upload_bytes_per_frame": upload_bytes,
         "frames": n_frames,
+        "frames_full": n_full,
         "platform": jax.devices()[0].platform,
     }
+    result.update(vocab1m)
     print(json.dumps(result))
 
 
-def _bench_loop_latency(cfg) -> float:
-    """Wall time of one loop closure's numeric core at reference scale
-    (fr3/long_office-ish: ~200 KFs, 20k points): Sim3 RANSAC (300 iters)
-    + essential-graph optimization + 20-iteration global BA
-    (reference: src/LoopClosing.cc:232-583 + 643-744)."""
+def _bench_vocab_1m():
+    """The reference ships a 1M-word ORBvoc (k=10, L=6, README.md:24).
+    Exercise that scale in the default evidence chain: synthesize →
+    text round-trip (the tools/bin_vocabulary path) → device tree
+    descent → leaf retrieval under 4 flipped bits."""
+    import tempfile
+
+    from orb_slam2_map_tpu.place import vocabulary
+
+    k, L = 10, 6
+    voc = vocabulary.synthesize_vocabulary(k=k, L=L, seed=2)
+    with tempfile.TemporaryDirectory() as td:
+        p = os.path.join(td, "voc1m.txt")
+        vocabulary.save_orbvoc_text(voc, p)
+        t0 = time.perf_counter()
+        voc2 = vocabulary.load_orbvoc_text(p)
+        convert_s = time.perf_counter() - t0
+    rng = np.random.default_rng(1)
+    leaf_off = voc.level_offset(L)
+    pick = rng.choice(k ** L, 512, replace=False)
+    d = voc.centroids[leaf_off + pick].copy()
+    for i in range(512):
+        for b in rng.integers(0, 256, 4):
+            d[i, b // 32] ^= np.uint32(1) << np.uint32(b % 32)
+    voc2.transform(d)                       # warm/compile
+    t0 = time.perf_counter()
+    words, _ = voc2.transform(d)
+    descend_ms = (time.perf_counter() - t0) * 1000.0
+    return {
+        "vocab1m_words": k ** L,
+        "vocab1m_convert_s": round(convert_s, 1),
+        "vocab1m_descend_ms": round(descend_ms, 1),
+        "vocab1m_table_mb": round(voc.centroids.nbytes / 2 ** 20, 1),
+        "vocab1m_leaf_hit": round(float((words == pick).mean()), 3),
+    }
+
+
+def _bench_full_system(cfg, world, n_full: int):
+    """The reference's actual operating point: every subsystem live and
+    concurrent on one loop-bearing noisy trajectory."""
+    import time
+
+    from orb_slam2_map_tpu.io import evaluate
+    from orb_slam2_map_tpu.io.synthetic import (SensorNoiseModel,
+                                                SyntheticRGBDSequence,
+                                                orbit_trajectory)
+    from orb_slam2_map_tpu.slam import SLAMSystem, Sensor
+
+    from orb_slam2_map_tpu.utils import profiling
+
+    Twc, ts = orbit_trajectory(n_full, angle_range=2.4 * np.pi)
+    seq = SyntheticRGBDSequence(world, Twc, ts,
+                                noise=SensorNoiseModel(seed=1))
+    frames = [seq[i] for i in range(len(seq))]
+    budget = 1.0 / 30.0          # reference frame period
+    out = {}
+    for trial in range(2):
+        profiling.PROFILER.reset()
+        slam = SLAMSystem(cfg, Sensor.RGBD, enable_loop_closing=True,
+                          background_gba=True, enable_dense_mapping=True,
+                          max_keyframes=1024, max_points=1 << 17)
+        stalls = []
+        t0 = time.perf_counter()
+        for t, gray, depth, rgb in frames:
+            s0 = time.perf_counter()
+            slam.track_rgbd_async(t, gray, depth, rgb=rgb)
+            stalls.append(time.perf_counter() - s0 > budget)
+        slam.flush()
+        wall = time.perf_counter() - t0
+        ts_est, Twc_est = slam.trajectory()
+        pos_est = np.asarray([T[:3, 3] for T in Twc_est])
+        ate = evaluate.ate_rmse(ts_est, pos_est, ts, Twc[:, :3, 3])
+        # longest run of frames whose submission blocked > 1 period
+        max_stall = run = 0
+        for s in stalls:
+            run = run + 1 if s else 0
+            max_stall = max(max_stall, run)
+        summ = profiling.PROFILER.summary()
+
+        def _stage(name, field):
+            return round(summ[name][field], 1) if name in summ else 0.0
+
+        out = {
+            "fps": round(n_full / wall, 2),
+            "ate_cm": round(float(ate * 100), 3),
+            "loops": int(slam.loop_closer.n_loops_closed),
+            "kfs": int(slam.map.n_keyframes()),
+            "max_stall": int(max_stall),
+            # the ACTUAL map-blocking cost per closure (lock held):
+            # final widen + correction + essential graph + fuse
+            "correct_ms_mean": _stage("loop_closing/correct", "mean_ms"),
+            "correct_ms_max": _stage("loop_closing/correct", "max_ms"),
+            # lock-free Sim3 hypothesis compute (tracking continues)
+            "sim3_compute_ms_mean": _stage("loop_closing/sim3_compute",
+                                           "mean_ms"),
+        }
+        slam.shutdown()
+        if trial == 0 and wall > 240.0:
+            break
+    return out
+
+
+def _bench_loop_latency(cfg):
+    """Per-stage wall time of one loop closure's numeric core at
+    reference scale (fr3/long_office-ish: ~200 KFs, 20k points):
+    Sim3 RANSAC (300 iters), essential-graph optimization (20 iters),
+    20-iteration global BA (reference: src/LoopClosing.cc:232-583 +
+    643-744). In live runs the Sim3 hypothesis computes lock-free on a
+    snapshot and GBA runs on the background worker, so the map-blocking
+    cost is essentially the essential graph + correction bookkeeping."""
     import jax
     import jax.numpy as jnp
 
-    from orb_slam2_map_tpu.geom import se3 as se3_mod
     from orb_slam2_map_tpu.optim import global_ba as gba
     from orb_slam2_map_tpu.optim import pose_graph, sim3_solver
 
@@ -151,7 +314,7 @@ def _bench_loop_latency(cfg) -> float:
             jnp.asarray(ij), (jnp.asarray(Rm), jnp.asarray(tm),
                               jnp.asarray(sm)),
             jnp.asarray(ev), jnp.asarray(vv), jnp.asarray(fixed),
-            None, fix_scale=True, iters=12)
+            None, fix_scale=True, iters=20)
 
     # global BA: 128 cameras x 16k points, 8 obs each
     K, Pn, opp = 128, 1 << 14, 8
@@ -179,15 +342,17 @@ def _bench_loop_latency(cfg) -> float:
     def run_gba():
         return gba.global_ba(cam, prob, 20)
 
-    total = 0.0
-    for fn in (run_sim3, run_essential, run_gba):
+    import jax as _jax
+    times = {}
+    for name, fn in (("sim3", run_sim3), ("essential", run_essential),
+                     ("gba", run_gba)):
         out = fn()
-        jax.block_until_ready(out)      # warm (compile)
+        _jax.block_until_ready(out)      # warm (compile)
         t0 = time.perf_counter()
         out = fn()
-        jax.block_until_ready(out)
-        total += time.perf_counter() - t0
-    return total * 1000.0
+        _jax.block_until_ready(out)
+        times[name] = round((time.perf_counter() - t0) * 1000.0, 1)
+    return times
 
 
 def _bench_dense(cfg, frame0) -> float:
@@ -209,6 +374,46 @@ def _bench_dense(cfg, frame0) -> float:
                             cfg.dense.resolution)
     dt = time.perf_counter() - t0
     return n_pts * n_iters / dt
+
+
+def _bench_fuse_at_capacity() -> float:
+    """One fuse-application round (bind/merge bookkeeping incl. bulk
+    point replacement) on a 2048-KF / 2^18-point map — the host-side
+    wall the per-point scans used to hit at KITTI scale."""
+    from types import SimpleNamespace
+
+    from orb_slam2_map_tpu.config import SystemConfig
+    from orb_slam2_map_tpu.io.synthetic import synthetic_camera
+    from orb_slam2_map_tpu.slam.local_mapping import LocalMapper
+    from orb_slam2_map_tpu.slam.mapstore import MapStore
+
+    K, M, N = 2048, 1 << 18, 512
+    rng = np.random.default_rng(0)
+    m = MapStore(max_keyframes=K, max_points=M, kp_capacity=N)
+    n_mp = 200_000
+    m.mp_exists[:n_mp] = True
+    m._next_mp = n_mp
+    m.kf_exists[:K] = True
+    m._next_kf = K
+    # ~300 observations per KF, direct array writes (no covis upkeep —
+    # this benchmarks the fuse bookkeeping, not insertion)
+    for k in range(K):
+        idx = rng.choice(N, 300, replace=False)
+        m.kf_obs[k, idx] = rng.choice(n_mp, 300, replace=False)
+    m.refresh_obs_rows(np.arange(K))
+    m.mp_obs_count[:n_mp] = np.maximum(m.mp_obs_count[:n_mp], 1)
+
+    lm = LocalMapper(SystemConfig(camera=synthetic_camera()), m)
+    # a heavy fuse round: 24 targets x 40 accepted matches each
+    batches = []
+    for kid in rng.choice(K, 24, replace=False):
+        mids = rng.choice(n_mp, 64, replace=False)
+        rows = np.arange(40)
+        kp = rng.choice(N, 40, replace=False)
+        batches.append((int(kid), mids, rows, kp))
+    t0 = time.perf_counter()
+    lm.apply_fuse_round(batches)
+    return round((time.perf_counter() - t0) * 1000.0, 1)
 
 
 if __name__ == "__main__":

@@ -58,10 +58,16 @@ def so3_log(R):
     w = vee(R - jnp.swapaxes(R, -1, -2)) * 0.5  # = sin(theta) * axis
     sin_theta = jnp.sin(theta)
     small = theta < 1e-4
-    # Generic: theta / sin(theta) * w ; near 0: w * (1 + theta^2/6)
+    # Generic: theta / sin(theta) * w ; near 0: w * (1 + theta^2/6).
+    # The small branch must NOT touch `theta`: d(arccos)/dx -> -inf at
+    # x=1, so any use of theta at R=I poisons autodiff jacobians (this
+    # made every exactly-consistent pose-graph edge produce NaN J and
+    # silently froze the essential-graph optimizer). 2(1-cos) ~ theta^2
+    # is a smooth proxy with the right value AND derivative at I.
+    theta2_smooth = 2.0 * (1.0 - cos_theta)
     scale = jnp.where(
         small,
-        1.0 + theta * theta / 6.0,
+        1.0 + theta2_smooth / 6.0,
         theta / jnp.where(small, 1.0, sin_theta + _EPS),
     )
     w_generic = w * scale[..., None]

@@ -54,20 +54,22 @@ def _use_pallas(standalone: bool = False) -> bool:
       lose: the Pallas kernel wins outright (1.0 vs 1.5 ms at 1221^2,
       and the f32 distance matrix never materializes in HBM). On by
       default on TPU via standalone=True; ORB_TPU_PALLAS=0 disables."""
+    import os
+
     global _USE_PALLAS
     if _USE_PALLAS is None:
-        import os
-
         try:
             plat = jax.devices()[0].platform
         except Exception:
             plat = "cpu"
-        env = os.environ.get("ORB_TPU_PALLAS")
-        _USE_PALLAS = {"tpu": plat == "tpu", "env": env}
+        _USE_PALLAS = {"tpu": plat == "tpu"}
     if not _USE_PALLAS["tpu"]:
         return False
-    if _USE_PALLAS["env"] is not None:
-        return _USE_PALLAS["env"] == "1"
+    # the env var is re-read per call (cheap) so in-process toggling —
+    # the A/B measurement use case — takes effect immediately
+    env = os.environ.get("ORB_TPU_PALLAS")
+    if env is not None:
+        return env == "1"
     return standalone
 
 

@@ -385,7 +385,10 @@ def run_global_ba(cfg, map_store, fixed_kf: int, iters: int = 20):
     prob, kfs, mids = built
     res = global_ba(cfg.camera, prob, iters)
     m = map_store
-    m.kf_R[kfs] = np.asarray(res.R)
+    # project back to SO(3): f32 LM retractions drift R R^T off
+    # identity, which SE3 composes downstream assume exact
+    U, _, Vt = np.linalg.svd(np.asarray(res.R))
+    m.kf_R[kfs] = (U @ Vt).astype(np.float32)
     m.kf_t[kfs] = np.asarray(res.t)
     m.mp_pos[mids] = np.asarray(res.X)
     m.mark_all_points_dirty()

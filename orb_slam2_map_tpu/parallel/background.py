@@ -133,6 +133,11 @@ class BackgroundGBA:
         from ..utils import transfer
 
         R, t, X = transfer.fetch((prob.R, prob.t, prob.X))
+        # re-orthonormalize: tens of LM retractions accumulate ~1e-4 of
+        # R R^T - I drift in f32, which the SE3 composes in the staged
+        # spanning-tree correction would amplify (they assume R^-1=R^T)
+        U, _, Vt = np.linalg.svd(R)
+        R = np.ascontiguousarray((U @ Vt).astype(np.float32))
         if perm is not None:   # undo the owner-shard point permutation
             X = X[np.argsort(perm)][:len(mids)]
         with self._lock:

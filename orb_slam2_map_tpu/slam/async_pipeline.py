@@ -123,9 +123,26 @@ class AsyncRGBDPipeline:
                                         daemon=True)
         if self.local_mapper is not None:
             self.local_mapper.lock = self._map_lock
+        # loop closing on its OWN thread (reference: src/LoopClosing.cc
+        # :58-102 — a dedicated thread + KF queue so triangulation/fuse/
+        # local BA keep running while a closure computes its Sim3; the
+        # lock is held only for detection, the input snapshot, and the
+        # correction write-back)
+        self._loop_q: Optional["queue.Queue"] = None
+        self._loop_thread = None
+        self._force_republish = False
+        lc = getattr(self.local_mapper, "loop_closer", None)
+        if lc is not None:
+            lc.lock = self._map_lock
+            self._loop_q = queue.Queue()
+            self.local_mapper.loop_queue = self._loop_q
+            self._loop_thread = threading.Thread(target=self._loop_loop,
+                                                 daemon=True)
         self._fetcher.start()
         self._supervisor.start()
         self._mapper.start()
+        if self._loop_thread is not None:
+            self._loop_thread.start()
 
     # ------------------------------------------------------------------
     # main-thread API
@@ -198,12 +215,14 @@ class AsyncRGBDPipeline:
                                     published=pub, rgb=rgb))
 
     def flush(self) -> None:
-        """Drain all in-flight frames, their supervision, and any queued
-        local-mapping work."""
+        """Drain all in-flight frames, their supervision, any queued
+        local-mapping work, and any queued loop-closing work."""
         with self._pending_cv:
             while self._pending_results > 0:
                 self._pending_cv.wait(timeout=0.1)
         self._kf_q.join()
+        if self._loop_q is not None:
+            self._loop_q.join()
         if self._failed_at is not None:
             self._recover()
 
@@ -213,9 +232,13 @@ class AsyncRGBDPipeline:
         self._fetch_q.put(None)
         self._result_q.put(None)
         self._kf_q.put(None)
+        if self._loop_q is not None:
+            self._loop_q.put(None)
         self._fetcher.join(timeout=5.0)
         self._supervisor.join(timeout=5.0)
         self._mapper.join(timeout=5.0)
+        if self._loop_thread is not None:
+            self._loop_thread.join(timeout=5.0)
 
     # ------------------------------------------------------------------
     # mode transitions
@@ -308,7 +331,17 @@ class AsyncRGBDPipeline:
             # fallbacks all available there), then resume the pipeline
             start = max(failed if failed is not None else 0,
                         self._recovered_to + 1)
-            replay = [fr for fr in self._ring if fr[0] >= start][-12:]
+            buffered = [fr for fr in self._ring if fr[0] >= start]
+            replay = buffered[-12:]
+            if len(buffered) > len(replay):
+                # no-silent-caps: frames beyond the replay window stay
+                # logged as lost instead of being re-tracked
+                profiling.PROFILER.add_sample(
+                    "pipeline/replay_cap_dropped",
+                    float(len(buffered) - len(replay)))
+                print(f"[pipeline] recovery replay cap: "
+                      f"{len(buffered)} buffered frames > 12; the first "
+                      f"{len(buffered) - len(replay)} remain lost")
             for fid, ts, gray, depth, rgb in replay:
                 self._recovered_to = fid
                 t.frame_id = fid - 1
@@ -365,6 +398,32 @@ class AsyncRGBDPipeline:
                 traceback.print_exc()
             finally:
                 self._kf_q.task_done()
+
+    # ------------------------------------------------------------------
+    # loop-closing thread: the reference's LoopClosing loop (:58-102)
+    # ------------------------------------------------------------------
+
+    def _loop_loop(self):
+        lc = self.local_mapper.loop_closer
+        while self._running:
+            kid = self._loop_q.get()
+            if kid is None:
+                return
+            try:
+                before = lc.n_loops_closed
+                with profiling.stage("loop_closing"):
+                    lc.process_keyframe(kid)
+                if lc.n_loops_closed > before:
+                    # the map moved under the tracker: force an immediate
+                    # snapshot republish (the periodic throttle would let
+                    # the tracker match a pre-correction snapshot for up
+                    # to 15 frames)
+                    self._force_republish = True
+            except Exception:  # pragma: no cover
+                import traceback
+                traceback.print_exc()
+            finally:
+                self._loop_q.task_done()
 
     # ------------------------------------------------------------------
     # supervisor thread: result consumption + keyframe policy
@@ -466,10 +525,16 @@ class AsyncRGBDPipeline:
             # while the mapper thread is actively working a keyframe,
             # defer the periodic refresh (both contend for the map lock
             # and, on small hosts, the same cores) — with a safety valve
-            # so candidates can never go more than ~15 frames stale
-            if (self._results_since_refresh >= 5
-                    and (self._kf_q.unfinished_tasks == 0
-                         or self._results_since_refresh >= 15)):
+            # so candidates can never go more than ~15 frames stale.
+            # A loop-closure correction BYPASSES the throttle: the loop
+            # thread raises _force_republish and the very next result
+            # republishes, so the tracker never matches a pre-correction
+            # snapshot for more than ~1 frame
+            if (self._force_republish
+                    or (self._results_since_refresh >= 5
+                        and (self._kf_q.unfinished_tasks == 0
+                             or self._results_since_refresh >= 15))):
+                self._force_republish = False
                 self._publish(fake_cur)
                 self._results_since_refresh = 0
 

@@ -41,6 +41,8 @@ class LocalMapper:
         self.cfg = cfg
         self.map = map_store
         self.loop_closer = loop_closer
+        self.loop_queue = None   # set by the async pipeline: keyframes
+                                 # hand off to a dedicated loop thread
         self.recent_points: List[np.ndarray] = []  # queues for culling
         self.recent_kf: List[int] = []
         self.enabled = True
@@ -90,10 +92,15 @@ class LocalMapper:
                     self._local_bundle_adjustment(kid)
             with self.lock:
                 self._cull_keyframes(kid)
-        if self.loop_closer is not None:
+        if self.loop_queue is not None:
+            # dedicated loop-closing thread (reference: src/LoopClosing.cc
+            # :58-102 — its own thread + KF queue so mapping continues
+            # while a closure runs); the loop closer takes the map lock
+            # itself, only around detection and the correction write-back
+            self.loop_queue.put(kid)
+        elif self.loop_closer is not None:
             with profiling.stage("loop_closing"):
-                with self.lock:
-                    self.loop_closer.process_keyframe(kid)
+                self.loop_closer.process_keyframe(kid)
 
     # ------------------------------------------------------------------
 
@@ -269,6 +276,7 @@ class LocalMapper:
         with profiling.stage("local_mapping/fuse_fetch"):
             host = transfer.fetch(pulls)   # no map lock during the RTT
         with self._hold("fuse_write"):
+            batches = []
             if fwd is not None:
                 targets_f, mids_p = fwd[0], fwd[1]
                 keep_b, kp_b = host[0], host[1]
@@ -276,13 +284,15 @@ class LocalMapper:
                 for j, nb in enumerate(targets_f):
                     keep = keep_b[j] & valid_f
                     rows = np.nonzero(keep)[0]
-                    self._apply_fuse(int(nb), mids_p, rows, kp_b[j][rows])
+                    batches.append((int(nb), mids_p, rows, kp_b[j][rows]))
             if rev is not None:
                 off = 2 if fwd is not None else 0
                 ok_np, kp_np = host[off], host[off + 1]
                 keep = ok_np & rev[3]
                 rows = np.nonzero(keep)[0]
-                self._apply_fuse(kid, rev[1], rows, kp_np[rows])
+                batches.append((kid, rev[1], rows, kp_np[rows]))
+            with profiling.stage("local_mapping/apply_fuse"):
+                self.apply_fuse_round(batches)
             # descriptors/normals + covisibility changed
             with profiling.stage("local_mapping/fuse_stats"):
                 self.map.update_point_stats(
@@ -352,51 +362,123 @@ class LocalMapper:
         rows = np.nonzero(keep)[0]
         self._apply_fuse(kid, mids_p, rows, kp_np[rows])
 
+    def fuse_into_many(self, targets, mids: np.ndarray):
+        """Fuse `mids` into many keyframes with vmapped dispatch + ONE
+        bookkeeping round (loop closing's SearchAndFuse over the
+        corrected neighborhood, reference src/LoopClosing.cc:585-611;
+        the per-KF variant paid one device round trip per keyframe)."""
+        targets = [int(t) for t in targets]
+        if len(targets) == 0 or len(mids) == 0:
+            return
+        dispatches = []
+        for st in range(0, len(targets), self.FUSE_TARGET_CAP):
+            d = self._fuse_into_many_dispatch(
+                targets[st:st + self.FUSE_TARGET_CAP], mids)
+            if d is not None:
+                dispatches.append(d)
+        batches = []
+        for targets_f, mids_p, res, valid in dispatches:
+            ok_b, kp_b = transfer.fetch((res.ok, res.kp_idx))
+            for j, nb in enumerate(targets_f):
+                keep = ok_b[j] & valid
+                rows = np.nonzero(keep)[0]
+                batches.append((int(nb), mids_p, rows, kp_b[j][rows]))
+        self.apply_fuse_round(batches)
+
     def _apply_fuse(self, kid: int, mids: np.ndarray, rows: np.ndarray,
                     kp: np.ndarray):
         with profiling.stage("local_mapping/apply_fuse"):
-            self._apply_fuse_inner(kid, mids, rows, kp)
+            self.apply_fuse_round([(kid, mids, rows, kp)])
 
-    def _apply_fuse_inner(self, kid: int, mids: np.ndarray,
-                          rows: np.ndarray, kp: np.ndarray):
-        """Bind/merge accepted fuse matches into keyframe `kid`
-        (reference Fuse bookkeeping, src/ORBmatcher.cc:825-975 +
-        MapPoint::Replace, src/MapPoint.cc:177-215)."""
-        if len(rows) == 0:
-            return
-        for r, k in zip(rows, kp):
-            mid = int(mids[r])
-            if not self.map.mp_exists[mid]:
-                continue   # merged away by an earlier target this round
-            bound = int(self.map.kf_obs[kid, k])
-            if bound == mid:
+    def apply_fuse_round(self, batches):
+        """Bind/merge a whole round of accepted fuse matches (reference
+        Fuse bookkeeping, src/ORBmatcher.cc:825-975 + MapPoint::Replace,
+        src/MapPoint.cc:177-215). `batches` is a list of
+        (kid, mids, rows, kp) acceptance sets.
+
+        Decisions (bind vs merge, merge direction) run as O(1) host-dict
+        ops per match; all resulting merges apply in ONE pass over the
+        observation table (MapStore.replace_points_bulk). The previous
+        per-match variant scanned the full K x N table per merged point
+        — O(matches*K*N) per fuse round at KITTI capacity (ADVICE r3)."""
+        m = self.map
+        merges = []                     # (drop, keep) pairs
+        binds = []                      # (kid, kp, mid)
+        repl: dict = {}                 # local view of this round's merges
+
+        def resolve(x: int) -> int:
+            while x in repl:
+                x = repl[x]
+            return x
+
+        bound_sets: dict = {}
+        overlay: dict = {}              # (kid, kp) -> mid bound this round
+        cnt: dict = {}                  # merged-obs-count overlay
+        for kid, mids, rows, kp in batches:
+            if len(rows) == 0:
                 continue
-            if bound >= 0 and self.map.mp_exists[bound]:
-                # merge: keep the more-observed point
-                if self.map.mp_obs_count[bound] >= self.map.mp_obs_count[mid]:
-                    self._replace_point(mid, bound)
+            kid = int(kid)
+            if kid not in bound_sets:
+                row = m.kf_obs[kid]
+                bound_sets[kid] = set(row[row >= 0].tolist())
+            for r, k in zip(rows, kp):
+                mid = resolve(int(mids[r]))
+                if not m.mp_exists[mid]:
+                    continue            # merged away earlier this round
+                cur = overlay.get((kid, int(k)))
+                if cur is None:
+                    b = int(m.kf_obs[kid, k])
+                    cur = resolve(b) if b >= 0 else -1
+                    if cur >= 0 and not m.mp_exists[cur]:
+                        cur = -1
                 else:
-                    self._replace_point(bound, mid)
-            else:
-                self.map.kf_obs[kid, k] = mid
-        self.map._refresh_obs_row(kid)
+                    cur = resolve(cur)
+                if cur == mid:
+                    continue
+                if cur >= 0:
+                    # merge: keep the more-observed point (live view:
+                    # earlier merges this round add their observations)
+                    c_cur = cnt.get(cur, None)
+                    if c_cur is None:
+                        c_cur = int(m.mp_obs_count[cur])
+                    c_mid = cnt.get(mid, None)
+                    if c_mid is None:
+                        c_mid = int(m.mp_obs_count[mid])
+                    if c_cur >= c_mid:
+                        keep, drop = cur, mid
+                    else:
+                        keep, drop = mid, cur
+                    cnt[keep] = c_cur + c_mid
+                    cnt[drop] = 0
+                    repl[drop] = keep
+                    merges.append((drop, keep))
+                else:
+                    if mid in bound_sets[kid]:
+                        continue        # KF already observes this point
+                    binds.append((kid, int(k), mid))
+                    overlay[(kid, int(k))] = mid
+                    bound_sets[kid].add(mid)
+
+        if merges:
+            m.replace_points_bulk(merges)
+        touched = set()
+        for kid, k, mid in binds:
+            mid = resolve(mid)
+            if not m.mp_exists[mid]:
+                continue
+            if mid != int(m.kf_obs[kid, k]) \
+                    and (m.kf_obs[kid] == mid).any():
+                continue                # survivor landed here via a merge
+            m.kf_obs[kid, k] = mid
+            touched.add(kid)
+        if touched:
+            m.refresh_obs_rows(np.fromiter(touched, np.int64,
+                                           len(touched)))
 
     def _replace_point(self, old: int, new: int):
-        """Re-bind every observation of `old` to `new`, then erase `old`."""
-        eq = (self.map.kf_obs == old) & self.map.kf_exists[:, None]
-        ks = np.nonzero(eq.any(axis=1))[0]
-        for k in ks:
-            sel = self.map.kf_obs[k] == old
-            # avoid double-binding new in the same KF
-            if (self.map.kf_obs[k] == new).any():
-                self.map.kf_obs[k][sel] = -1
-            else:
-                self.map.kf_obs[k][sel] = new
-            self.map._refresh_obs_row(k)
-        self.map.mp_found[new] += self.map.mp_found[old]
-        self.map.mp_visible[new] += self.map.mp_visible[old]
-        self.map.mp_exists[old] = False
-        self.map.mp_obs_count[old] = 0
+        """Re-bind every observation of `old` to `new`, then erase `old`
+        (single-pair wrapper around the bulk pass)."""
+        self.map.replace_points_bulk([(old, new)])
 
     # ------------------------------------------------------------------
 
@@ -416,9 +498,14 @@ class LocalMapper:
                 (res.R_free, res.t_free, res.X, res.inlier_free))
 
         with self._hold("ba_write"):
-            # write back poses + points
+            # write back poses + points. Rotations are re-projected to
+            # SO(3): repeated f32 LM retractions drift R R^T off identity
+            # by ~1e-4, which downstream SE3 composes (spanning-tree
+            # corrections, Tcp recovery) amplify since they use R^T as
+            # the inverse
             K = len(free_ids)
-            mstore.kf_R[free_ids] = R_f[:K]
+            U, _, Vt = np.linalg.svd(R_f[:K])
+            mstore.kf_R[free_ids] = (U @ Vt).astype(np.float32)
             mstore.kf_t[free_ids] = t_f[:K]
             P = len(mids)
             alive = mstore.mp_exists[mids]

@@ -15,6 +15,8 @@ src/LoopClosing.cc:743).
 
 from __future__ import annotations
 
+import contextlib
+from dataclasses import dataclass
 from typing import List, Optional, Set, Tuple
 
 import jax
@@ -25,7 +27,35 @@ from ..config import SystemConfig
 from ..geom import se3, sim3
 from ..ops import matching
 from ..optim import pose_graph, sim3_solver
+from ..utils import profiling
 from .mapstore import MapStore
+
+
+@dataclass
+class _PairSnapshot:
+    """Copies of the map rows the Sim3 computation reads, taken under
+    the map lock so the expensive RANSAC/optimization stages can run
+    WITHOUT it (the reference likewise runs ComputeSim3 concurrently
+    with LocalMapping, blocking only in CorrectLoop,
+    src/LoopClosing.cc:403-427)."""
+
+    kid: int
+    cand: int
+    obs2: np.ndarray         # loop-KF keypoint -> map point id
+    has1: np.ndarray
+    has2: np.ndarray
+    desc1: np.ndarray
+    desc2: np.ndarray
+    level1: np.ndarray
+    level2: np.ndarray
+    xy1: np.ndarray
+    xy2: np.ndarray
+    Xc1_all: np.ndarray      # per-keypoint camera-frame point coords
+    Xc2_all: np.ndarray
+    min_dist1: np.ndarray
+    max_dist1: np.ndarray
+    min_dist2: np.ndarray
+    max_dist2: np.ndarray
 
 
 class LoopCloser:
@@ -42,6 +72,15 @@ class LoopCloser:
         self.last_loop_kf = 0
         self.loop_detected = False   # consumed by dense mapping rebuild
         self.n_loops_closed = 0
+        # map lock for concurrent operation: the async pipeline sets this
+        # to its map RLock. Held for detection (cheap BoW queries), the
+        # input snapshot, and the correction write-back — NOT for the
+        # Sim3 RANSAC / widening / optimization device programs.
+        self.lock = contextlib.nullcontext()
+        # silent-truncation counters (no-silent-caps rule): bumped when
+        # the fixed Sim3 RANSAC/optimization pads drop matches
+        self.n_ransac_pad_truncations = 0
+        self.n_opt_pad_truncations = 0
 
     def enable_background_gba(self):
         """Run post-loop global BA on a worker with staged write-back
@@ -60,8 +99,14 @@ class LoopCloser:
     # ------------------------------------------------------------------
 
     def process_keyframe(self, kid: int):
-        self.db.maybe_refresh()
-        cands = self._detect_loop(kid)
+        """Detect + close a loop for one keyframe. Lock discipline
+        (reference: src/LoopClosing.cc:58-89 Run): detection and the
+        input snapshot hold the map lock briefly; the expensive Sim3
+        compute runs lock-free on the snapshot; the correction
+        write-back re-takes the lock."""
+        with self.lock:
+            self.db.maybe_refresh()
+            cands = self._detect_loop(kid)
         if len(cands) == 0:
             return
         ok = self._compute_sim3_and_correct(kid, cands)
@@ -111,138 +156,195 @@ class LoopCloser:
         Sim3 RANSAC → SearchBySim3 match widening → Sim3 optimization →
         final projection widen with the loop neighborhood's points,
         accepted only at >= sim3_min_total_matches (40) total."""
-        lcfg = self.cfg.loop_closing
-        m = self.map
-        sigma2 = np.asarray(self.cfg.orb.level_sigma2, dtype=np.float32)
-
         for cand in cands:
-            # descriptor match between map-point-bound keypoints
-            obs1 = m.kf_obs[kid]
-            obs2 = m.kf_obs[cand]
-            has1 = (obs1 >= 0) & m.mp_exists[np.clip(obs1, 0, None)]
-            has2 = (obs2 >= 0) & m.mp_exists[np.clip(obs2, 0, None)]
-            gate = has1[:, None] & has2[None, :]
-            # standalone dispatch with a host-built gate: Pallas
-            # XOR+popcount path (ops/matching._use_pallas policy)
-            res = matching.gated_nn(jnp.asarray(m.kf_desc[kid]),
-                                    jnp.asarray(m.kf_desc[cand]),
-                                    jnp.asarray(gate),
-                                    max_dist=50.0, ratio=0.75,
-                                    standalone=True)
-            keep = np.asarray(matching.resolve_duplicates(
-                res.idx, res.dist, res.ok, m.N))
-            rows = np.nonzero(keep)[0]
-            if len(rows) < lcfg.sim3_min_bow_matches:
+            with self.lock:
+                snap = self._snapshot_pair(kid, int(cand))
+            with profiling.stage("loop_closing/sim3_compute"):
+                hyp = self._compute_sim3(snap)
+            if hyp is None:
                 continue
-            cols = np.asarray(res.idx)[rows]
-
-            # camera-frame coordinates of the associated map points
-            R1, t1 = m.kf_R[kid], m.kf_t[kid]
-            R2, t2 = m.kf_R[cand], m.kf_t[cand]
-            mid1 = np.clip(obs1, 0, None)
-            mid2 = np.clip(obs2, 0, None)
-            Xc1_all = m.mp_pos[mid1] @ R1.T + t1    # per-keypoint, [N,3]
-            Xc2_all = m.mp_pos[mid2] @ R2.T + t2
-
-            N_pad = 256
-            npts = min(len(rows), N_pad)
-            rows_r, cols_r = rows[:npts], cols[:npts]
-            X1p = np.zeros((N_pad, 3), np.float32)
-            X2p = np.zeros((N_pad, 3), np.float32)
-            s2_1 = np.ones(N_pad, np.float32)
-            s2_2 = np.ones(N_pad, np.float32)
-            valid = np.zeros(N_pad, bool)
-            X1p[:npts] = Xc1_all[rows_r]
-            X2p[:npts] = Xc2_all[cols_r]
-            s2_1[:npts] = sigma2[m.kf_level[kid][rows_r]]
-            s2_2[:npts] = sigma2[m.kf_level[cand][cols_r]]
-            valid[:npts] = True
-
-            rr = sim3_solver.sim3_ransac_jit(
-                self.cfg.camera, jnp.asarray(X1p), jnp.asarray(X2p),
-                jnp.asarray(s2_1), jnp.asarray(s2_2), jnp.asarray(valid),
-                jax.random.PRNGKey(kid), 256, self.fix_scale,
-                lcfg.sim3_ransac_min_inliers)
-            if not bool(rr.ok):
-                continue
-
-            # --- SearchBySim3 widening (reference: src/LoopClosing.cc:324
-            # + src/ORBmatcher.cc:1102-1326): mutual Sim3-guided projection
-            # matches for keypoints outside the RANSAC-inlier set ---
-            from . import mapping_kernels
-
-            inl_mask = np.asarray(rr.inliers)[:npts]
-            rows_i, cols_i = rows_r[inl_mask], cols_r[inl_mask]
-            already1 = np.zeros(m.N, bool)
-            already2 = np.zeros(m.N, bool)
-            already1[rows_i] = True
-            already2[cols_i] = True
-            wid = mapping_kernels.search_by_sim3(
-                self.cfg, jnp.asarray(np.asarray(rr.R)),
-                jnp.asarray(np.asarray(rr.t)), jnp.asarray(np.asarray(rr.s)),
-                jnp.asarray(Xc1_all), jnp.asarray(has1),
-                jnp.asarray(m.kf_desc[kid]), jnp.asarray(m.kf_level[kid]),
-                jnp.asarray(m.mp_min_dist[mid1]),
-                jnp.asarray(m.mp_max_dist[mid1]),
-                jnp.asarray(m.kf_xy[kid]), jnp.asarray(already1),
-                jnp.asarray(Xc2_all), jnp.asarray(has2),
-                jnp.asarray(m.kf_desc[cand]), jnp.asarray(m.kf_level[cand]),
-                jnp.asarray(m.mp_min_dist[mid2]),
-                jnp.asarray(m.mp_max_dist[mid2]),
-                jnp.asarray(m.kf_xy[cand]), jnp.asarray(already2))
-            w_ok, w_m12 = np.asarray(wid.ok), np.asarray(wid.match12)
-            w_rows = np.nonzero(w_ok)[0]
-            w_cols = w_m12[w_rows]
-
-            # combined correspondence set → Sim3 optimization (reference
-            # runs OptimizeSim3 over the widened vpMapPointMatches)
-            a_rows = np.concatenate([rows_i, w_rows])
-            a_cols = np.concatenate([cols_i, w_cols])
-            P = 512
-            n_all = min(len(a_rows), P)
-            a_rows, a_cols = a_rows[:n_all], a_cols[:n_all]
-            X1o = np.zeros((P, 3), np.float32)
-            X2o = np.zeros((P, 3), np.float32)
-            uv1 = np.zeros((P, 2), np.float32)
-            uv2 = np.zeros((P, 2), np.float32)
-            is2_1 = np.ones(P, np.float32)
-            is2_2 = np.ones(P, np.float32)
-            v_all = np.zeros(P, bool)
-            X1o[:n_all] = Xc1_all[a_rows]
-            X2o[:n_all] = Xc2_all[a_cols]
-            uv1[:n_all] = m.kf_xy[kid][a_rows]
-            uv2[:n_all] = m.kf_xy[cand][a_cols]
-            is2_1[:n_all] = 1.0 / sigma2[m.kf_level[kid][a_rows]]
-            is2_2[:n_all] = 1.0 / sigma2[m.kf_level[cand][a_cols]]
-            v_all[:n_all] = True
-            so = sim3_solver.optimize_sim3_jit(
-                self.cfg.camera, rr.R, rr.t, rr.s,
-                jnp.asarray(X1o), jnp.asarray(X2o),
-                jnp.asarray(uv1), jnp.asarray(uv2),
-                jnp.asarray(is2_1), jnp.asarray(is2_2),
-                jnp.asarray(v_all), self.fix_scale)
-            if int(so.n_inliers) < lcfg.sim3_min_opt_inliers:
-                continue
-            S12 = (np.asarray(so.R), np.asarray(so.t), float(so.s))
-
-            # current-KF matched points after optimization (the
-            # reference's mvpCurrentMatchedPoints): kp -> loop map point
-            opt_inl = np.asarray(so.inliers)[:n_all]
-            mkp = a_rows[opt_inl]
-            mmp = obs2[a_cols[opt_inl]]
-
-            # --- final projection widen over the loop neighborhood's
-            # points at th=10, then the >= 40 total-matches gate
-            # (reference: src/LoopClosing.cc:340-395) ---
-            loop_points = self._loop_neighborhood_points(cand)
-            mkp, mmp = self._widen_with_loop_points(
-                kid, cand, S12, loop_points, mkp, mmp)
-            if len(mkp) < lcfg.sim3_min_total_matches:
-                continue
-
-            self._correct_loop(kid, cand, S12, loop_points, mkp, mmp)
-            return True
+            S12, mkp, mmp = hyp
+            with self.lock:
+                with profiling.stage("loop_closing/correct"):
+                    if self._finalize_and_correct(kid, int(cand), S12,
+                                                  mkp, mmp):
+                        return True
         return False
+
+    def _snapshot_pair(self, kid: int, cand: int) -> _PairSnapshot:
+        """Copy the rows the Sim3 compute reads (held lock: a few 100 KB
+        of row gathers)."""
+        m = self.map
+        obs1 = m.kf_obs[kid].copy()
+        obs2 = m.kf_obs[cand].copy()
+        has1 = (obs1 >= 0) & m.mp_exists[np.clip(obs1, 0, None)]
+        has2 = (obs2 >= 0) & m.mp_exists[np.clip(obs2, 0, None)]
+        R1, t1 = m.kf_R[kid], m.kf_t[kid]
+        R2, t2 = m.kf_R[cand], m.kf_t[cand]
+        mid1 = np.clip(obs1, 0, None)
+        mid2 = np.clip(obs2, 0, None)
+        return _PairSnapshot(
+            kid=kid, cand=cand, obs2=obs2, has1=has1, has2=has2,
+            desc1=m.kf_desc[kid].copy(), desc2=m.kf_desc[cand].copy(),
+            level1=m.kf_level[kid].copy(), level2=m.kf_level[cand].copy(),
+            xy1=m.kf_xy[kid].copy(), xy2=m.kf_xy[cand].copy(),
+            Xc1_all=(m.mp_pos[mid1] @ R1.T + t1).astype(np.float32),
+            Xc2_all=(m.mp_pos[mid2] @ R2.T + t2).astype(np.float32),
+            min_dist1=m.mp_min_dist[mid1].copy(),
+            max_dist1=m.mp_max_dist[mid1].copy(),
+            min_dist2=m.mp_min_dist[mid2].copy(),
+            max_dist2=m.mp_max_dist[mid2].copy())
+
+    # fixed device pads for the Sim3 stages; overflows are counted and
+    # logged (no-silent-caps rule), never silently dropped
+    SIM3_RANSAC_PAD = 256
+    SIM3_OPT_PAD = 512
+
+    def _compute_sim3(self, s: _PairSnapshot):
+        """Lock-free Sim3 hypothesis computation over a `_PairSnapshot`.
+        Returns (S12, mkp, mmp) — the optimized current→loop Sim3 plus
+        the matched (current keypoint, loop map point) pairs — or None."""
+        lcfg = self.cfg.loop_closing
+        sigma2 = np.asarray(self.cfg.orb.level_sigma2, dtype=np.float32)
+        kid, cand = s.kid, s.cand
+
+        # descriptor match between map-point-bound keypoints
+        gate = s.has1[:, None] & s.has2[None, :]
+        # standalone dispatch with a host-built gate: Pallas
+        # XOR+popcount path (ops/matching._use_pallas policy)
+        res = matching.gated_nn(jnp.asarray(s.desc1), jnp.asarray(s.desc2),
+                                jnp.asarray(gate),
+                                max_dist=50.0, ratio=0.75,
+                                standalone=True)
+        keep = np.asarray(matching.resolve_duplicates(
+            res.idx, res.dist, res.ok, self.map.N))
+        rows = np.nonzero(keep)[0]
+        if len(rows) < lcfg.sim3_min_bow_matches:
+            return None
+        cols = np.asarray(res.idx)[rows]
+
+        N_pad = self.SIM3_RANSAC_PAD
+        if len(rows) > N_pad:
+            self.n_ransac_pad_truncations += 1
+            profiling.PROFILER.add_sample(
+                "loop_closing/sim3_ransac_pad_truncated",
+                float(len(rows) - N_pad))
+            print(f"[loop_closing] Sim3 RANSAC pad truncation: "
+                  f"{len(rows)} BoW matches > pad {N_pad} "
+                  f"(KF {kid} vs {cand}); keeping the first {N_pad}")
+        npts = min(len(rows), N_pad)
+        rows_r, cols_r = rows[:npts], cols[:npts]
+        X1p = np.zeros((N_pad, 3), np.float32)
+        X2p = np.zeros((N_pad, 3), np.float32)
+        s2_1 = np.ones(N_pad, np.float32)
+        s2_2 = np.ones(N_pad, np.float32)
+        valid = np.zeros(N_pad, bool)
+        X1p[:npts] = s.Xc1_all[rows_r]
+        X2p[:npts] = s.Xc2_all[cols_r]
+        s2_1[:npts] = sigma2[s.level1[rows_r]]
+        s2_2[:npts] = sigma2[s.level2[cols_r]]
+        valid[:npts] = True
+
+        rr = sim3_solver.sim3_ransac_jit(
+            self.cfg.camera, jnp.asarray(X1p), jnp.asarray(X2p),
+            jnp.asarray(s2_1), jnp.asarray(s2_2), jnp.asarray(valid),
+            jax.random.PRNGKey(kid), 256, self.fix_scale,
+            lcfg.sim3_ransac_min_inliers)
+        if not bool(rr.ok):
+            return None
+
+        # --- SearchBySim3 widening (reference: src/LoopClosing.cc:324
+        # + src/ORBmatcher.cc:1102-1326): mutual Sim3-guided projection
+        # matches for keypoints outside the RANSAC-inlier set ---
+        from . import mapping_kernels
+
+        inl_mask = np.asarray(rr.inliers)[:npts]
+        rows_i, cols_i = rows_r[inl_mask], cols_r[inl_mask]
+        already1 = np.zeros(self.map.N, bool)
+        already2 = np.zeros(self.map.N, bool)
+        already1[rows_i] = True
+        already2[cols_i] = True
+        wid = mapping_kernels.search_by_sim3(
+            self.cfg, jnp.asarray(np.asarray(rr.R)),
+            jnp.asarray(np.asarray(rr.t)), jnp.asarray(np.asarray(rr.s)),
+            jnp.asarray(s.Xc1_all), jnp.asarray(s.has1),
+            jnp.asarray(s.desc1), jnp.asarray(s.level1),
+            jnp.asarray(s.min_dist1), jnp.asarray(s.max_dist1),
+            jnp.asarray(s.xy1), jnp.asarray(already1),
+            jnp.asarray(s.Xc2_all), jnp.asarray(s.has2),
+            jnp.asarray(s.desc2), jnp.asarray(s.level2),
+            jnp.asarray(s.min_dist2), jnp.asarray(s.max_dist2),
+            jnp.asarray(s.xy2), jnp.asarray(already2))
+        w_ok, w_m12 = np.asarray(wid.ok), np.asarray(wid.match12)
+        w_rows = np.nonzero(w_ok)[0]
+        w_cols = w_m12[w_rows]
+
+        # combined correspondence set → Sim3 optimization (reference
+        # runs OptimizeSim3 over the widened vpMapPointMatches)
+        a_rows = np.concatenate([rows_i, w_rows])
+        a_cols = np.concatenate([cols_i, w_cols])
+        P = self.SIM3_OPT_PAD
+        if len(a_rows) > P:
+            self.n_opt_pad_truncations += 1
+            profiling.PROFILER.add_sample(
+                "loop_closing/sim3_opt_pad_truncated",
+                float(len(a_rows) - P))
+            print(f"[loop_closing] Sim3 optimization pad truncation: "
+                  f"{len(a_rows)} widened matches > pad {P} "
+                  f"(KF {kid} vs {cand}); keeping the first {P}")
+        n_all = min(len(a_rows), P)
+        a_rows, a_cols = a_rows[:n_all], a_cols[:n_all]
+        X1o = np.zeros((P, 3), np.float32)
+        X2o = np.zeros((P, 3), np.float32)
+        uv1 = np.zeros((P, 2), np.float32)
+        uv2 = np.zeros((P, 2), np.float32)
+        is2_1 = np.ones(P, np.float32)
+        is2_2 = np.ones(P, np.float32)
+        v_all = np.zeros(P, bool)
+        X1o[:n_all] = s.Xc1_all[a_rows]
+        X2o[:n_all] = s.Xc2_all[a_cols]
+        uv1[:n_all] = s.xy1[a_rows]
+        uv2[:n_all] = s.xy2[a_cols]
+        is2_1[:n_all] = 1.0 / sigma2[s.level1[a_rows]]
+        is2_2[:n_all] = 1.0 / sigma2[s.level2[a_cols]]
+        v_all[:n_all] = True
+        so = sim3_solver.optimize_sim3_jit(
+            self.cfg.camera, rr.R, rr.t, rr.s,
+            jnp.asarray(X1o), jnp.asarray(X2o),
+            jnp.asarray(uv1), jnp.asarray(uv2),
+            jnp.asarray(is2_1), jnp.asarray(is2_2),
+            jnp.asarray(v_all), self.fix_scale)
+        if int(so.n_inliers) < lcfg.sim3_min_opt_inliers:
+            return None
+        S12 = (np.asarray(so.R), np.asarray(so.t), float(so.s))
+
+        # current-KF matched points after optimization (the
+        # reference's mvpCurrentMatchedPoints): kp -> loop map point
+        opt_inl = np.asarray(so.inliers)[:n_all]
+        mkp = a_rows[opt_inl]
+        mmp = s.obs2[a_cols[opt_inl]]
+        return S12, mkp, mmp
+
+    def _finalize_and_correct(self, kid: int, cand: int, S12,
+                              mkp: np.ndarray, mmp: np.ndarray) -> bool:
+        """Under the map lock: revalidate the hypothesis against the
+        live map, run the final projection widen over the loop
+        neighborhood's points at th=10, apply the >= 40 total-matches
+        gate (reference: src/LoopClosing.cc:340-395), then correct."""
+        m = self.map
+        lcfg = self.cfg.loop_closing
+        if not (m.kf_exists[kid] and m.kf_exists[cand]):
+            return False
+        alive = m.mp_exists[np.clip(mmp, 0, None)] & (mmp >= 0)
+        mkp, mmp = mkp[alive], mmp[alive]
+
+        loop_points = self._loop_neighborhood_points(cand)
+        mkp, mmp = self._widen_with_loop_points(
+            kid, cand, S12, loop_points, mkp, mmp)
+        if len(mkp) < lcfg.sim3_min_total_matches:
+            return False
+        self._correct_loop(kid, cand, S12, loop_points, mkp, mmp)
+        return True
 
     def _loop_neighborhood_points(self, loop_kf: int) -> np.ndarray:
         """Map points seen by the loop KF + its covisible neighbors
@@ -368,8 +470,10 @@ class LoopCloser:
 
         # direct fusion of the Sim3-matched pairs: the loop point replaces
         # the current KF's binding (reference: src/LoopClosing.cc:516-533,
-        # pCurMP->Replace(pLoopMP))
+        # pCurMP->Replace(pLoopMP)). All merges apply in ONE table pass.
         if mkp is not None and len(mkp) > 0:
+            merges = []
+            binds = []
             for k, lp in zip(mkp, mmp):
                 k, lp = int(k), int(lp)
                 if not m.mp_exists[lp]:
@@ -378,20 +482,24 @@ class LoopCloser:
                 if bound == lp:
                     continue
                 if bound >= 0 and m.mp_exists[bound]:
-                    fuser._replace_point(bound, lp)
-                if (m.kf_obs[kid] == lp).any():
-                    continue   # already bound elsewhere in this KF
-                m.kf_obs[kid, k] = lp
+                    merges.append((bound, lp))
+                else:
+                    binds.append((k, lp))
+            if merges:
+                m.replace_points_bulk(merges)
+            for k, lp in binds:
+                if m.mp_exists[lp] and not (m.kf_obs[kid] == lp).any():
+                    m.kf_obs[kid, k] = lp
             m._refresh_obs_row(kid)
 
         # fuse loop points into the corrected neighborhood (SearchAndFuse,
-        # reference: src/LoopClosing.cc:585-611)
+        # reference: src/LoopClosing.cc:585-611) — one batched dispatch
+        # over all corrected KFs instead of a round trip per KF
         if loop_points is None:
             loop_points = self._loop_neighborhood_points(loop_kf)
         if len(loop_points) > 0:
             loop_points = loop_points[m.mp_exists[loop_points]]
-            for i in corrected:
-                fuser._fuse_into(int(i), loop_points)
+            fuser.fuse_into_many(list(corrected), loop_points)
         for i in corrected:
             m.update_connections(int(i))
         m.update_connections(loop_kf)
@@ -507,7 +615,7 @@ class LoopCloser:
                 poses, jnp.asarray(ij_s),
                 tuple(jnp.asarray(a) for a in meas_s), jnp.asarray(ev_s),
                 jnp.asarray(vertex_valid), jnp.asarray(fixed), mesh,
-                "data", fix_scale=self.fix_scale, iters=12)
+                "data", fix_scale=self.fix_scale, iters=20)
         else:
             res = pose_graph.optimize_pose_graph(
                 poses,
@@ -515,7 +623,7 @@ class LoopCloser:
                                   jnp.asarray(sm)),
                 jnp.asarray(ev), jnp.asarray(vertex_valid),
                 jnp.asarray(fixed),
-                None, fix_scale=self.fix_scale, iters=12)
+                None, fix_scale=self.fix_scale, iters=20)
 
         R_new = np.asarray(res.R)
         t_new = np.asarray(res.t)

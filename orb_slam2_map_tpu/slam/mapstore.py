@@ -201,6 +201,101 @@ class MapStore:
         self.kf_obs[kid, kp_idx] = mids
         self._refresh_obs_row(kid)
 
+    def refresh_obs_rows(self, kids: np.ndarray):
+        """Bulk `_refresh_obs_row` over several keyframes: one flattened
+        scatter-add instead of per-row passes."""
+        kids = np.asarray(kids)
+        if len(kids) == 0:
+            return
+        w = np.where(self.kf_ur[kids] >= 0, 2, 1).astype(np.int32)
+        old = self._counted_obs[kids]
+        ov = old >= 0
+        if ov.any():
+            np.subtract.at(self.mp_obs_count, old[ov], w[ov])
+        new = self.kf_obs[kids]
+        nv = new >= 0
+        if nv.any():
+            np.add.at(self.mp_obs_count, new[nv], w[nv])
+        self._counted_obs[kids] = new
+
+    def replace_points_bulk(self, pairs) -> None:
+        """MapPoint::Replace for a whole round of merges (reference:
+        src/MapPoint.cc:177-215) in ONE pass over the observation table.
+
+        `pairs` is a sequence of (old, new): every observation of `old`
+        re-binds to `new` unless the keyframe already observes `new`
+        (then the old binding drops, keeping the reference's
+        no-duplicate-binding invariant); found/visible counters
+        accumulate into the survivor; `old` is erased. Chained merges
+        (a->b, b->c) resolve transitively. The per-pair variant was a
+        full K x N scan per merge — O(matches*K*N) per fuse round at
+        capacity (ADVICE r3) — this is O(K*N) total."""
+        if len(pairs) == 0:
+            return
+        # resolve chains at the mapping level (host ints, O(len(pairs)))
+        repl: dict = {}
+
+        def resolve(x: int) -> int:
+            seen = []
+            while x in repl:
+                seen.append(x)
+                x = repl[x]
+            for s in seen:       # path compression
+                repl[s] = x
+            return x
+
+        for old, new in pairs:
+            old, new = int(old), int(new)
+            ro, rn = resolve(old), resolve(new)
+            if ro == rn or not self.mp_exists[ro]:
+                continue
+            repl[ro] = rn
+        if not repl:
+            return
+        finals = {o: resolve(o) for o in list(repl)}
+        finals = {o: n for o, n in finals.items()
+                  if self.mp_exists[o] and self.mp_exists[n]}
+        if not finals:
+            return
+        olds = np.fromiter(finals.keys(), np.int64, len(finals))
+        news = np.fromiter(finals.values(), np.int64, len(finals))
+
+        lut = np.arange(self.M, dtype=np.int64)
+        lut[olds] = news
+        sel = np.zeros(self.M, dtype=bool)
+        sel[olds] = True
+        hit = (self.kf_obs >= 0) & sel[np.clip(self.kf_obs, 0, None)]
+        rows_aff = np.nonzero(hit.any(axis=1) & self.kf_exists)[0]
+        if len(rows_aff):
+            obs_r = self.kf_obs[rows_aff]                       # [R, N]
+            translated = (obs_r >= 0) & sel[np.clip(obs_r, 0, None)]
+            obs_r = np.where(translated, lut[np.clip(obs_r, 0, None)],
+                             obs_r)
+            # within-row dedup: a row may now bind the survivor twice
+            # (it observed both old and new). Keep the untranslated
+            # binding, else the first translated one — mirrors the
+            # reference's "already observes pMP -> EraseObservation"
+            # branch. Stable sort groups (value, translated) per row.
+            R, N = obs_r.shape
+            key = obs_r * 2 + translated                        # -2 for -1s
+            order = np.argsort(key, axis=1, kind="stable")
+            sv = np.take_along_axis(obs_r, order, 1)
+            dup = np.concatenate(
+                [np.zeros((R, 1), bool),
+                 (sv[:, 1:] == sv[:, :-1]) & (sv[:, 1:] >= 0)], axis=1)
+            drop = np.zeros_like(dup)
+            np.put_along_axis(drop, order, dup, 1)
+            obs_r[drop & translated] = -1
+            self.kf_obs[rows_aff] = obs_r
+        # counters accumulate into the survivor (duplicates add up)
+        np.add.at(self.mp_found, news, self.mp_found[olds])
+        np.add.at(self.mp_visible, news, self.mp_visible[olds])
+        self.mp_exists[olds] = False
+        self.mp_obs_count[olds] = 0
+        if len(rows_aff):
+            self.refresh_obs_rows(rows_aff)
+        self.version += 1
+
     # ------------------------------------------------------------------
     # covisibility + spanning tree
     # ------------------------------------------------------------------

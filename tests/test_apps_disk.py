@@ -149,3 +149,42 @@ class TestDiskDrivers:
         assert not th.is_alive()
         out = capsys.readouterr().out
         assert "live run: 8 frames" in out
+
+    def test_network_source_depth_roundtrip(self):
+        """Depth must survive the wire bit-exactly (the encoder sends
+        big-endian u16; a native-order decode byte-swaps every value:
+        2.000 m would read back as 0.827 m)."""
+        import socket
+        import threading
+
+        import numpy as np
+
+        from orb_slam2_map_tpu.geom.camera import PinholeCamera
+
+        app = _load_app("rgbd_live")
+        h, w = 8, 12
+        cam = PinholeCamera(fx=100.0, fy=100.0, cx=6.0, cy=4.0,
+                            width=w, height=h)
+        rng = np.random.default_rng(3)
+        depth = rng.uniform(0.3, 9.0, (h, w)).astype(np.float32)
+        depth[0, 0] = 2.0          # the advisor's probe value
+        gray = rng.uniform(0, 255, (h, w)).astype(np.float32)
+        frames = [(0.5, gray, depth, None)]
+        with socket.socket() as s:
+            s.bind(("127.0.0.1", 0))
+            port = s.getsockname()[1]
+        ready = threading.Event()
+        th = threading.Thread(target=app.serve_frames,
+                              args=(port, iter(frames), cam),
+                              kwargs={"ready": ready}, daemon=True)
+        th.start()
+        assert ready.wait(5.0)
+        src = app.NetworkSource(port=port)
+        assert src.open()
+        ts, g, d, rgb = src.grab()
+        src.close()
+        th.join(timeout=5.0)
+        # quantization is 1/5000 m; byte-swap errors are ~1000x larger
+        np.testing.assert_allclose(d, np.round(depth * 5000) / 5000,
+                                   atol=1.01 / 5000)
+        assert abs(float(d[0, 0]) - 2.0) < 1e-3

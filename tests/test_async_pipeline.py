@@ -48,6 +48,67 @@ class TestAsyncPipeline:
         assert slam.map.n_keyframes() >= 1
         assert slam.map.n_points() > 200
 
+    def test_loop_closes_on_dedicated_thread(self, small_world):
+        """Loop closing runs on its OWN thread in the async pipeline
+        (reference: src/LoopClosing.cc:58-102): while a closure's Sim3
+        compute runs (artificially slowed here), frame submission keeps
+        flowing — the map lock is held only for detection, the snapshot
+        and the correction write-back."""
+        import time
+
+        from orb_slam2_map_tpu.io.synthetic import orbit_trajectory
+        from orb_slam2_map_tpu.slam import SLAMSystem, Sensor
+
+        world, cfg = small_world
+        # slower angular rate than the sync orbit test: the async device
+        # carry has no per-frame reference-KF fallback, so fast rotation
+        # triggers recovery resets that wipe the revisit map
+        Twc, ts = orbit_trajectory(180, angle_range=2.4 * np.pi)
+        seq = SyntheticRGBDSequence(world, Twc, ts)
+        slam = SLAMSystem(cfg, Sensor.RGBD, enable_loop_closing=True,
+                          background_gba=True,
+                          max_keyframes=192, max_points=1 << 15)
+        lc = slam.loop_closer
+        pipe = slam.pipeline
+        assert pipe._loop_thread is not None, \
+            "async pipeline must give loop closing a dedicated thread"
+
+        windows = []
+        orig = lc._compute_sim3
+
+        def timed_compute(snap):
+            t0 = time.perf_counter()
+            res = orig(snap)
+            windows.append((t0, time.perf_counter()))
+            return res
+
+        lc._compute_sim3 = timed_compute
+        submits = []              # (end_time, blocked_duration, mode)
+        for i in range(len(seq)):
+            t, gray, depth, rgb = seq[i]
+            s0 = time.perf_counter()
+            slam.track_rgbd_async(t, gray, depth)
+            submits.append((time.perf_counter(),
+                            time.perf_counter() - s0, pipe._mode))
+        slam.flush()
+        assert lc.n_loops_closed >= 1, "orbit must close a loop"
+        ts_est, _ = slam.trajectory()
+        assert len(ts_est) >= len(seq) - 2
+
+        # tracking must not stall for a closure: EITHER a frame was
+        # accepted strictly inside a lock-free Sim3-compute window, OR
+        # no async-mode submission ever blocked for 0.5 s — both prove
+        # the closure ran off the tracking path
+        overlapped = any(
+            any(w[0] < se < w[1] for se, _, md in submits if md == "async")
+            for w in windows)
+        max_async_block = max(
+            [d for _, d, md in submits if md == "async"], default=0.0)
+        assert overlapped or max_async_block < 0.5, \
+            (f"closure stalled tracking: max async submit block "
+             f"{max_async_block:.2f}s, no overlap with compute windows")
+        slam.shutdown()
+
     def test_failure_recovery(self, small_world):
         """Feed garbage frames mid-sequence: the pipeline must flag the
         failure, mark frames lost, relocalize/reset and keep running

@@ -116,6 +116,49 @@ class TestSearchBySim3:
         assert int(np.asarray(res.ok).sum()) == 0
 
 
+class TestSim3PadTruncationLogging:
+    def test_ransac_pad_overflow_is_counted(self):
+        """The fixed 256-pad for Sim3 RANSAC correspondences must COUNT
+        and log overflow instead of silently dropping matches
+        (no-silent-caps; the pads are slam/loop_closing.py
+        SIM3_RANSAC_PAD / SIM3_OPT_PAD)."""
+        from orb_slam2_map_tpu.slam.loop_closing import LoopCloser
+        from orb_slam2_map_tpu.slam.mapstore import MapStore
+
+        cfg = small_config()
+        cam = cfg.camera
+        N = 512
+        n = 300            # > SIM3_RANSAC_PAD == 256 shared observations
+        rng = np.random.default_rng(0)
+        m = MapStore(max_keyframes=4, max_points=1024, kp_capacity=N)
+        mids = m.alloc_points(n)
+        X = np.stack([rng.uniform(-0.5, 0.5, n),
+                      rng.uniform(-0.35, 0.35, n),
+                      rng.uniform(2.5, 3.5, n)], axis=1).astype(np.float32)
+        m.mp_pos[mids] = X
+        m.mp_min_dist[mids] = 0.1
+        m.mp_max_dist[mids] = 50.0
+        desc = rng.integers(0, 2 ** 32, (n, 8), dtype=np.uint32)
+        for k, t in ((0, np.zeros(3, np.float32)),
+                     (1, np.asarray([0.05, 0, 0], np.float32))):
+            m.kf_exists[k] = True
+            m.kf_t[k] = t
+            m.kf_desc[k, :n] = desc
+            m.kf_kp_valid[k, :n] = True
+            m.kf_obs[k, :n] = mids
+            Xc = X + t
+            m.kf_xy[k, :n, 0] = cam.fx * Xc[:, 0] / Xc[:, 2] + cam.cx
+            m.kf_xy[k, :n, 1] = cam.fy * Xc[:, 1] / Xc[:, 2] + cam.cy
+        m._next_kf = 2
+
+        lc = LoopCloser(cfg, m, None, fix_scale=True,
+                        run_global_ba=False)
+        snap = lc._snapshot_pair(0, 1)
+        lc._compute_sim3(snap)
+        assert lc.n_ransac_pad_truncations >= 1, \
+            "300 BoW matches above the 256 pad must bump the counter"
+
+
 class TestTotalMatchGate:
     def test_min_total_matches_config_is_live(self):
         """The >= 40 gate (reference: src/LoopClosing.cc:376-386) must be

@@ -96,6 +96,47 @@ class TestORBvocScale:
         np.testing.assert_array_equal(w1, w2)
         np.testing.assert_array_equal(n1, n2)
 
+    def test_real_dbow2_text_quirks(self, tmp_path):
+        """Real ORBvoc.txt files written by the reference's
+        saveToTextFile carry a DOUBLE space in the header
+        (`f << m_k << " " << m_L << " " << " " << m_scoring ...`,
+        TemplatedVocabulary.h:1446) and often trailing blank lines; the
+        loader must tolerate both (ADVICE r3: the strict np.loadtxt
+        parse raised on ragged lines)."""
+        voc = vocabulary.synthesize_vocabulary(k=10, L=3, seed=4)
+        p0 = str(tmp_path / "clean.txt")
+        vocabulary.save_orbvoc_text(voc, p0)
+        body = open(p0).read().split("\n", 1)[1]
+        p = str(tmp_path / "quirky.txt")
+        with open(p, "w") as f:
+            f.write("10 3  0 0\n")          # the reference's double space
+            f.write(body)
+            f.write("\n\n")                 # trailing blanks
+        voc2 = vocabulary.load_orbvoc_text(p)
+        assert (voc2.k, voc2.L) == (10, 3)
+        np.testing.assert_array_equal(voc.centroids, voc2.centroids)
+
+    def test_orbvoc_binary_roundtrip(self, tmp_path):
+        """The fork's fast-start ORBvoc.bin layout (TemplatedVocabulary
+        saveToBinaryFile: 24-byte header + packed 41-byte node records)
+        must round-trip bit-exactly and agree with the text format."""
+        voc = vocabulary.synthesize_vocabulary(k=10, L=3, seed=5)
+        p = str(tmp_path / "voc.bin")
+        vocabulary.save_orbvoc_binary(voc, p)
+        import os
+
+        n_nodes = sum(10 ** l for l in range(1, 4))
+        assert os.path.getsize(p) == 24 + 41 * n_nodes
+        voc2 = vocabulary.load_orbvoc_binary(p)
+        assert (voc2.k, voc2.L) == (10, 3)
+        np.testing.assert_array_equal(voc.centroids, voc2.centroids)
+        np.testing.assert_allclose(voc.weights, voc2.weights, rtol=1e-6)
+        rng = np.random.default_rng(0)
+        d = rng.integers(0, 2 ** 32, (128, 8), dtype=np.uint32)
+        w1, _ = voc.transform(d)
+        w2, _ = voc2.transform(d)
+        np.testing.assert_array_equal(w1, w2)
+
     def test_large_vocab_convert_and_descend(self, tmp_path):
         import os
         import time
@@ -129,7 +170,7 @@ class TestORBvocScale:
         words, _ = voc.transform(d)
         t_warm = time.time() - t0
         hit = (words == pick).mean()
-        assert hit > 0.7, f"leaf retrieval {hit:.2f} at {10**L} words"
+        assert hit > 0.95, f"leaf retrieval {hit:.2f} at {10**L} words"
         assert t_warm < 10.0, f"device descent {t_warm*1e3:.0f}ms"
 
 
