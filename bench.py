@@ -31,6 +31,13 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 
+_T0 = time.perf_counter()
+
+
+def _progress(msg: str):
+    print(f"[bench +{time.perf_counter() - _T0:6.1f}s] {msg}",
+          file=sys.stderr, flush=True)
+
 
 def main():
     import jax
@@ -62,10 +69,12 @@ def main():
     Twc, ts = sweep_trajectory(n_frames)
     seq = SyntheticRGBDSequence(world, Twc, ts,
                                 noise=SensorNoiseModel(seed=0))
+    _progress("rendering noisy sweep frames")
     frames = [seq[i] for i in range(len(seq))]
     ate = pipeline_fps = 0.0
     host_ms = {}
     for trial in range(2):
+        _progress(f"noisy sweep pipeline pass {trial}")
         profiling.PROFILER.reset()
         slam = SLAMSystem(cfg, Sensor.RGBD, enable_loop_closing=False)
         t0 = time.perf_counter()
@@ -89,6 +98,7 @@ def main():
             break   # degraded network tunnel: skip the warm pass
 
     # --- 2) fused tracking step: device throughput (frames/s/chip) ---
+    _progress("fused step microbench")
     import __graft_entry__ as ge
 
     fn, args = ge.entry()
@@ -102,20 +112,26 @@ def main():
 
     # --- 3) FULL system on a loop-bearing noisy orbit: async pipeline +
     #        mapping thread + loop thread + background GBA + dense ---
+    _progress("full-system orbit bench")
     full = _bench_full_system(cfg, world, n_full)
 
     # --- 4) loop-closure latency per stage ---
+    _progress("loop-stage microbench")
     loop_ms = _bench_loop_latency(cfg)
 
     # --- 5) dense point-cloud fusion throughput ---
+    _progress("dense fusion bench")
     dense_pps = _bench_dense(cfg, frames[0])
 
     # --- 6) fuse/replace bookkeeping at KITTI-scale map capacity ---
+    _progress("fuse-at-capacity bench")
     fuse_ms = _bench_fuse_at_capacity()
 
     # --- 7) reference-scale vocabulary: 1M words (k=10, L=6) ---
+    _progress("1M-word vocabulary bench")
     vocab1m = ({} if os.environ.get("BENCH_SKIP_VOCAB") == "1"
                else _bench_vocab_1m())
+    _progress("done")
 
     qf = float(cfg.depth_map_factor) or 5000.0
     upload_bytes = (cfg.camera.width * cfg.camera.height * (1 + 2)
@@ -219,9 +235,14 @@ def _bench_full_system(cfg, world, n_full: int):
     budget = 1.0 / 30.0          # reference frame period
     out = {}
     for trial in range(2):
+        _progress(f"full-system pass {trial}")
         profiling.PROFILER.reset()
+        # pipeline_depth bounds snapshot staleness (frames of supervision
+        # lag the tracker tolerates); 8 is the robust setting for
+        # rotation-heavy trajectories over a high-RTT tunnel
         slam = SLAMSystem(cfg, Sensor.RGBD, enable_loop_closing=True,
                           background_gba=True, enable_dense_mapping=True,
+                          pipeline_depth=8,
                           max_keyframes=1024, max_points=1 << 17)
         stalls = []
         t0 = time.perf_counter()
@@ -356,23 +377,33 @@ def _bench_loop_latency(cfg):
 
 
 def _bench_dense(cfg, frame0) -> float:
-    """Dense cloud fusion throughput: unproject + voxel-downsample one
-    KF's cloud (reference: src/PointCloudMap.cc:78-138 + :244-266)."""
+    """Dense cloud fusion throughput through the PRODUCTION path: the
+    background DenseMapper worker batch-dispatches per-KF device chains
+    (unproject + voxel compaction) and fetches compacted clouds, so the
+    tunnel round trips amortize over keyframes (reference:
+    src/PointCloudMap.cc:78-138 + :244-266 runs on its own thread)."""
     from orb_slam2_map_tpu.dense import pointcloud as pc
+    from orb_slam2_map_tpu.slam.mapstore import MapStore
 
     t, gray, depth, rgb = frame0
     if rgb is None:
-        rgb = np.stack([gray] * 3, axis=-1)
+        rgb = np.stack([gray] * 3, axis=-1).astype(np.uint8)
     depth, rgb = np.asarray(depth), np.asarray(rgb)
-    xyz, col, valid = pc._unproject_cloud(cfg, depth, rgb, decimation=3)
-    n_iters, n_pts = 5, int(np.asarray(valid).sum())
+    m = MapStore(max_keyframes=64, max_points=1 << 10, kp_capacity=64)
+    m.kf_exists[:16] = True
+    dm = pc.DenseMapper(cfg, m, background=True)
+    # warm (compile)
+    dm.insert_keyframe(0, rgb, depth)
+    dm._queue.join()
+    n_iters = 10
+    n_pts = int((np.asarray(depth)[::cfg.dense.decimation,
+                                   ::cfg.dense.decimation] > 0).sum())
     t0 = time.perf_counter()
-    for _ in range(n_iters):
-        xyz2, col2, v2 = pc._unproject_cloud(cfg, depth, rgb, decimation=3)
-        v2 = np.asarray(v2)
-        pc.voxel_downsample(np.asarray(xyz2)[v2], np.asarray(col2)[v2],
-                            cfg.dense.resolution)
+    for k in range(1, n_iters + 1):
+        dm.insert_keyframe(k % 16, rgb, depth)
+    dm._queue.join()
     dt = time.perf_counter() - t0
+    dm._queue.put(None)
     return n_pts * n_iters / dt
 
 

@@ -202,7 +202,8 @@ class AsyncRGBDPipeline:
                 self.cfg, self._carry, gray_u8, depth_f32, ctrl,
                 pub.cols["mp_pos"], pub.cols["mp_desc"], pub.cols["mp_normal"],
                 pub.cols["mp_min_dist"], pub.cols["mp_max_dist"],
-                pub.mp_alive, pub.mids_dev, pub.mp_valid_dev)
+                pub.mp_alive, pub.mids_dev, pub.mp_valid_dev,
+                pub.cols["mp_redirect"])
         # start the device->host copy of the packed result NOW: the copy
         # overlaps with later frames' compute and the fetcher's blocking
         # materialize becomes a short wait instead of a full tunnel RTT
@@ -374,11 +375,6 @@ class AsyncRGBDPipeline:
             profiling.PROFILER.add_sample("pipeline/fetch_batchsz",
                                           float(len(batch)))
             for b, a in zip(batch, arrs):
-                # the device work for this frame is done once its packed
-                # result is on host — release the in-flight slot here so
-                # supervision hiccups (keyframe handling, publishes)
-                # never stall the dispatch thread
-                self._inflight_sem.release()
                 self._result_q.put((b, a))
 
     # ------------------------------------------------------------------
@@ -392,7 +388,14 @@ class AsyncRGBDPipeline:
                 return
             try:
                 if self.local_mapper is not None:
-                    self.local_mapper.process_keyframe(kid)
+                    # backlog-shedding (reference InterruptBA analogue):
+                    # with keyframes queuing faster than full mapping
+                    # drains, drop to bookkeeping-only so the queue
+                    # clears and tracking keeps getting fresh keyframes
+                    q = self._kf_q.unfinished_tasks   # incl. this one
+                    effort = ("full" if q <= 1 else
+                              "medium" if q <= 3 else "light")
+                    self.local_mapper.process_keyframe(kid, effort=effort)
             except Exception:  # pragma: no cover
                 import traceback
                 traceback.print_exc()
@@ -443,6 +446,14 @@ class AsyncRGBDPipeline:
                 import traceback
                 traceback.print_exc()
             finally:
+                # release the in-flight slot only AFTER supervision: the
+                # slot count then bounds SNAPSHOT STALENESS (dispatch can
+                # never run more than max_in_flight frames ahead of the
+                # published map). Releasing at fetch time (r3) let the
+                # supervisor fall arbitrarily behind, and the tracker
+                # quietly matched against seconds-old candidate sets —
+                # fatal on rotation-heavy trajectories.
+                self._inflight_sem.release()
                 with self._pending_cv:
                     self._pending_results -= 1
                     self._pending_cv.notify_all()
@@ -485,6 +496,9 @@ class AsyncRGBDPipeline:
         self.map.mp_found[alive_obs] += 1
         t.matches_inliers = int(n_inl_final)
 
+        # latest supervised pose: candidate frustum truncation anchors
+        # here (tracking.Tracker._local_candidates)
+        t.async_pose = (R, tt)
         # trajectory log relative to the current reference KF
         Tcw = np.eye(4, dtype=np.float32)
         Tcw[:3, :3] = R
@@ -500,9 +514,20 @@ class AsyncRGBDPipeline:
         f = inflight.frame
         fake_cur = np.where(self.map.mp_exists[np.clip(cur_obs, 0, None)]
                             & (cur_obs >= 0), cur_obs, -1)
-        # mapping backpressure (reference: Tracking.cc:1340-1350 gates
-        # keyframe insertion on LocalMapping idleness)
-        mapper_busy = self._kf_q.unfinished_tasks > 0
+        # mapping backpressure (reference: Tracking.cc:1340-1350): the
+        # reference does NOT wait for LocalMapping to go idle — it
+        # interrupts the local BA and inserts unless the queue is
+        # already long (mlNewKeyFrames < 3 for stereo/RGB-D). Gating on
+        # full idleness starved keyframe insertion whenever per-KF
+        # mapping spans several frame periods (tunnel RTTs), which let
+        # the published candidates go stale and collapsed tracking on
+        # rotation-heavy trajectories
+        # KF CREATION must outpace the mapper: the supervisor's insert +
+        # depth-point creation + publish is what keeps the tracker's
+        # candidate set fresh; triangulation/fuse/BA are asynchronous
+        # refinements, and the mapper loop sheds them under backlog.
+        # Only a pathological backlog defers creation.
+        mapper_busy = self._kf_q.unfinished_tasks > 30
         c1a_force = (inflight.fid - t.last_frame_id_of_kf
                      >= t.max_frames_between_kf)
         if (not t.only_tracking
@@ -552,8 +577,15 @@ class AsyncRGBDPipeline:
             xy=host[0], ur=host[1], depth=host[2], desc=host[3],
             level=host[4], angle=host[5], valid=host[6],
             inv_sigma2=host[7], response=host[8], R=R, t=tt)
+        # create points for ALL valid-depth free keypoints, not only the
+        # close band: the reference leaves far points to LocalMapping's
+        # triangulation, which lands before the next frame on its CPU —
+        # here the mapper's output lags by the queue depth (tunnel RTTs),
+        # and rotation into new territory starves tracking while it
+        # waits. RGB-D depth is metric at all ranges; far points carry
+        # the same per-level sigma weighting.
         obs = t._create_points_from_depth(
-            hf, cur_obs, max_new=self.cfg.tracking.vo_depth_points)
+            hf, cur_obs, max_new=self.map.N)
         kid = self.map.add_keyframe(hf, inflight.ts, inflight.fid, obs)
         t._finish_new_points(kid, obs)
         t.ref_kf = kid

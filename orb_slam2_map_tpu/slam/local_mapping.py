@@ -71,10 +71,18 @@ class LocalMapper:
 
     # ------------------------------------------------------------------
 
-    def process_keyframe(self, kid: int):
+    def process_keyframe(self, kid: int, effort: str = "full"):
         """Full per-KF pipeline (reference: src/LocalMapping.cc:47-112
         Run): bookkeeping -> point culling -> triangulate new points ->
-        fuse duplicates -> local BA -> KF culling -> feed loop closer."""
+        fuse duplicates -> local BA -> KF culling -> feed loop closer.
+
+        `effort` is the backlog-shedding knob (the reference's
+        InterruptBA analogue, src/LocalMapping.cc:118: under load its
+        local BA is constantly aborted by incoming keyframes): "full"
+        runs everything, "medium" skips the local BA and KF culling,
+        "light" additionally skips triangulation/fuse — bookkeeping
+        only, so keyframe CREATION (which feeds the tracker fresh
+        candidates) never waits on refinement work."""
         if not self.enabled:
             return
         with profiling.stage("local_mapping"):
@@ -82,16 +90,17 @@ class LocalMapper:
                 self._process_new_keyframe(kid)
                 self._cull_map_points(kid)
                 n_kfs = self.map.n_keyframes()
-            if n_kfs > 1:
+            if effort != "light" and n_kfs > 1:
                 with profiling.stage("local_mapping/triangulate"):
                     self._create_new_map_points(kid)
                 with profiling.stage("local_mapping/fuse"):
                     self._fuse_neighbors(kid)
-            if n_kfs > 2:
+            if effort == "full" and n_kfs > 2:
                 with profiling.stage("local_mapping/local_ba"):
                     self._local_bundle_adjustment(kid)
-            with self.lock:
-                self._cull_keyframes(kid)
+            if effort == "full":
+                with self.lock:
+                    self._cull_keyframes(kid)
         if self.loop_queue is not None:
             # dedicated loop-closing thread (reference: src/LoopClosing.cc
             # :58-102 — its own thread + KF queue so mapping continues

@@ -64,6 +64,13 @@ class MapStore:
         self.mp_first_kf = np.full(M, -1, dtype=np.int32)
         self.mp_obs_count = np.zeros(M, dtype=np.int32)
         self.mp_level = np.zeros(M, dtype=np.int32)  # level at creation
+        # merge-redirect table (the reference's MapPoint::GetReplaced +
+        # Tracking::CheckReplacedInLastFrame): identity for live points;
+        # after a fuse merge the dropped id points at its survivor —
+        # transitively resolved — so stale bindings (device tracking
+        # carry, last-frame observations) follow the merge instead of
+        # silently dying with mp_exists
+        self.mp_redirect = np.arange(M, dtype=np.int32)
 
         # --- graph ---
         # kf_obs [K, N] is the single source of truth for observations.
@@ -292,6 +299,12 @@ class MapStore:
         np.add.at(self.mp_visible, news, self.mp_visible[olds])
         self.mp_exists[olds] = False
         self.mp_obs_count[olds] = 0
+        # redirect stale bindings to the survivors (transitive: entries
+        # already pointing AT an old now point at its survivor)
+        before = self.mp_redirect
+        self.mp_redirect = lut.astype(np.int32)[self.mp_redirect]
+        changed = np.nonzero(self.mp_redirect != before)[0]
+        self._dirty_mp[changed] = True
         if len(rows_aff):
             self.refresh_obs_rows(rows_aff)
         self.version += 1
@@ -542,6 +555,7 @@ class MapStore:
                 "mp_normal": jnp.asarray(self.mp_normal),
                 "mp_min_dist": jnp.asarray(self.mp_min_dist),
                 "mp_max_dist": jnp.asarray(self.mp_max_dist),
+                "mp_redirect": jnp.asarray(self.mp_redirect),
             }
         elif n_dirty > 0:
             import jax
@@ -559,7 +573,8 @@ class MapStore:
                 payload = jax.device_put(
                     (rows_p.astype(np.int32), self.mp_pos[idx],
                      self.mp_desc[idx], self.mp_normal[idx],
-                     self.mp_min_dist[idx], self.mp_max_dist[idx]))
+                     self.mp_min_dist[idx], self.mp_max_dist[idx],
+                     self.mp_redirect[idx]))
                 self._dev = _scatter_point_rows(self._dev, *payload)
         self._dirty_mp[:] = False
         self._dev_version = self.version
@@ -569,7 +584,7 @@ class MapStore:
 _SCATTER_JIT = None
 
 
-def _scatter_point_rows(cols, rows, pos, desc, normal, mind, maxd):
+def _scatter_point_rows(cols, rows, pos, desc, normal, mind, maxd, redir):
     """Jitted functional scatter of changed map-point rows into the
     device-resident columns (row index == M pads drop out of range).
     The jit wrapper is module-level: rebuilding it per call would
@@ -578,17 +593,18 @@ def _scatter_point_rows(cols, rows, pos, desc, normal, mind, maxd):
     if _SCATTER_JIT is None:
         import jax
 
-        def upd(c, r, p, d, n, mn, mx):
+        def upd(c, r, p, d, n, mn, mx, rd):
             return {
                 "mp_pos": c["mp_pos"].at[r].set(p, mode="drop"),
                 "mp_desc": c["mp_desc"].at[r].set(d, mode="drop"),
                 "mp_normal": c["mp_normal"].at[r].set(n, mode="drop"),
                 "mp_min_dist": c["mp_min_dist"].at[r].set(mn, mode="drop"),
                 "mp_max_dist": c["mp_max_dist"].at[r].set(mx, mode="drop"),
+                "mp_redirect": c["mp_redirect"].at[r].set(rd, mode="drop"),
             }
 
         _SCATTER_JIT = jax.jit(upd)
-    return _SCATTER_JIT(cols, rows, pos, desc, normal, mind, maxd)
+    return _SCATTER_JIT(cols, rows, pos, desc, normal, mind, maxd, redir)
 
 
 def _popcount_np(x: np.ndarray) -> np.ndarray:

@@ -212,7 +212,7 @@ PACK_SCALARS = 8  # [n_mm, n_inl_mm, n_inl_final, n_close_tr, n_close_untr,
 def fused_frame_step(cfg: SystemConfig, carry: TrackCarry,
                      gray_u8, depth_f32, ctrl,
                      mp_pos, mp_desc, mp_normal, mp_min_dist, mp_max_dist,
-                     mp_alive, mids, mp_valid):
+                     mp_alive, mids, mp_valid, mp_redirect=None):
     """ONE device program per steady-state frame: build frame -> motion
     model (with temporal VO depth points, reference src/Tracking.cc:
     1085-1149 UpdateLastFrame) -> pose opt -> local-map match -> final
@@ -232,7 +232,14 @@ def fused_frame_step(cfg: SystemConfig, carry: TrackCarry,
     N = f.capacity
 
     # ---- motion-model candidate set: bound map points + temporal VO ----
+    # follow fuse merges first (the reference's CheckReplacedInLastFrame,
+    # src/Tracking.cc:465 + MapPoint::GetReplaced): a binding whose point
+    # merged into a survivor re-binds to the survivor instead of dying
+    # with mp_alive — without this, every fuse round bled ~15 bindings
+    # per frame out of the device carry until tracking starved
     mp_ids = jnp.clip(carry.cur_obs, 0, None)
+    if mp_redirect is not None:
+        mp_ids = mp_redirect[mp_ids].astype(jnp.int32)
     alive = (carry.cur_obs >= 0) & mp_alive[mp_ids]
     pos_bound = mp_pos[mp_ids]
 
@@ -279,10 +286,13 @@ def fused_frame_step(cfg: SystemConfig, carry: TrackCarry,
         cfg.camera, R0s, t0s, last_xw, f.xy[kp_idx], f.ur[kp_idx],
         f.inv_sigma2[kp_idx], mok)
     inl_mm = res_mm.inliers & mok
-    # bindings for map-backed rows only (VO rows stay -1)
+    # bindings for map-backed rows only (VO rows stay -1); propagate the
+    # REDIRECTED ids so merges stick
     idx_safe = jnp.where(inl_mm & alive, kp_idx, N)
+    bound_ids = jnp.where(carry.cur_obs >= 0, mp_ids,
+                          jnp.int32(-1))
     cur_obs_mm = jnp.full(N, -1, jnp.int32).at[idx_safe].set(
-        carry.cur_obs.astype(jnp.int32), mode="drop")
+        bound_ids.astype(jnp.int32), mode="drop")
     n_mm_map = (inl_mm & alive).sum()
     n_vo = (inl_mm & vo_valid).sum()
 

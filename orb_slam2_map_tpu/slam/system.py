@@ -69,7 +69,11 @@ class SLAMSystem:
         if enable_dense_mapping:
             from ..dense.pointcloud import DenseMapper
 
-            self.dense_mapper = DenseMapper(cfg, self.map)
+            # background worker (the reference's PointCloudMapping
+            # thread): keyframe creation never blocks on cloud fusion
+            self.dense_mapper = DenseMapper(cfg, self.map,
+                                            loop_closer=self.loop_closer,
+                                            background=True)
 
         self.local_mapper = LocalMapper(cfg, self.map,
                                         loop_closer=self.loop_closer)

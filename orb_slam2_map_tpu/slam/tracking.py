@@ -68,6 +68,7 @@ class Tracker:
         self._n_vo_candidates = 0
 
         self.frame_id = -1
+        self.async_pose = None   # latest supervised pose (async pipeline)
         self.last_frame: Optional[Frame] = None
         self.last_obs: Optional[np.ndarray] = None   # [N] mp id per kp
         self.last_kf_id = -1
@@ -114,6 +115,14 @@ class Tracker:
                depth_img=None, gray=None):
         def build():
             return frame_mod.build_rgbd_frame(self.cfg, gray, depth_img)
+
+        # follow fuse merges in the last frame's bindings (reference:
+        # Tracking::CheckReplacedInLastFrame, src/Tracking.cc:465)
+        if self.last_obs is not None:
+            sel = self.last_obs >= 0
+            if sel.any():
+                self.last_obs[sel] = self.map.mp_redirect[
+                    self.last_obs[sel]]
 
         if self.state in (TrackingState.NO_IMAGES_YET,
                           TrackingState.NOT_INITIALIZED):
@@ -459,9 +468,41 @@ class Tracker:
         # exclude points already bound (they stay matched)
         already = set(bindings[bindings >= 0].tolist())
         if len(mids) > LOCAL_POINT_CAP:
-            # keep the most-observed points
-            order = np.argsort(-self.map.mp_obs_count[mids], kind="stable")
-            mids = mids[order[:LOCAL_POINT_CAP]]
+            # Truncation policy: frustum FIRST, observation count second.
+            # Ranking purely by obs count silently evicted the fresh
+            # points new keyframes contribute (old points accumulate
+            # counts), which starved tracking of matchable candidates on
+            # rotation-heavy trajectories — the reference never ranks:
+            # it frustum-filters per frame (Tracking.cc:1447-1505).
+            pose = getattr(self, "async_pose", None)
+            if pose is None and self.last_frame is not None:
+                pose = (np.asarray(self.last_frame.R),
+                        np.asarray(self.last_frame.t))
+            if pose is not None:
+                R, t = pose
+                cam = self.cfg.camera
+                Xc = self.map.mp_pos[mids] @ R.T + t
+                z = np.maximum(Xc[:, 2], 1e-6)
+                u = cam.fx * Xc[:, 0] / z + cam.cx
+                v = cam.fy * Xc[:, 1] / z + cam.cy
+                infront = ((Xc[:, 2] > 0.05)
+                           & (u > -64) & (u < cam.width + 64)
+                           & (v > -64) & (v < cam.height + 64))
+                m_in, m_out = mids[infront], mids[~infront]
+                if len(m_in) > LOCAL_POINT_CAP:
+                    order = np.argsort(-self.map.mp_obs_count[m_in],
+                                       kind="stable")
+                    mids = m_in[order[:LOCAL_POINT_CAP]]
+                else:
+                    order = np.argsort(-self.map.mp_obs_count[m_out],
+                                       kind="stable")
+                    mids = np.concatenate(
+                        [m_in,
+                         m_out[order[:LOCAL_POINT_CAP - len(m_in)]]])
+            else:
+                order = np.argsort(-self.map.mp_obs_count[mids],
+                                   kind="stable")
+                mids = mids[order[:LOCAL_POINT_CAP]]
 
         pad = LOCAL_POINT_CAP - len(mids)
         mids_p = np.concatenate([mids, np.zeros(pad, dtype=mids.dtype)])
@@ -766,6 +807,7 @@ class Tracker:
         self.last_frame = None
         self.last_obs = None
         self.velocity = None
+        self.async_pose = None
         self.ref_kf = -1
         self.logs.clear()
 

@@ -73,40 +73,42 @@ class TestAsyncPipeline:
         assert pipe._loop_thread is not None, \
             "async pipeline must give loop closing a dedicated thread"
 
-        windows = []
+        import threading
+
+        # during each Sim3 hypothesis compute, a probe thread must be
+        # able to take the map lock — the deterministic form of "the
+        # expensive closure stage does not block tracking/mapping"
+        # (wall-clock stall bounds are meaningless on a 2-core CI host
+        # where all threads contend for the same cores)
+        lock_free = []
         orig = lc._compute_sim3
 
-        def timed_compute(snap):
-            t0 = time.perf_counter()
+        def probing_compute(snap):
+            got = {}
+
+            def probe():
+                ok = pipe._map_lock.acquire(timeout=30.0)
+                if ok:
+                    pipe._map_lock.release()
+                got["ok"] = ok
+
+            th = threading.Thread(target=probe, daemon=True)
+            th.start()
             res = orig(snap)
-            windows.append((t0, time.perf_counter()))
+            th.join(timeout=60.0)
+            lock_free.append(got.get("ok", False))
             return res
 
-        lc._compute_sim3 = timed_compute
-        submits = []              # (end_time, blocked_duration, mode)
+        lc._compute_sim3 = probing_compute
         for i in range(len(seq)):
             t, gray, depth, rgb = seq[i]
-            s0 = time.perf_counter()
             slam.track_rgbd_async(t, gray, depth)
-            submits.append((time.perf_counter(),
-                            time.perf_counter() - s0, pipe._mode))
         slam.flush()
         assert lc.n_loops_closed >= 1, "orbit must close a loop"
         ts_est, _ = slam.trajectory()
         assert len(ts_est) >= len(seq) - 2
-
-        # tracking must not stall for a closure: EITHER a frame was
-        # accepted strictly inside a lock-free Sim3-compute window, OR
-        # no async-mode submission ever blocked for 0.5 s — both prove
-        # the closure ran off the tracking path
-        overlapped = any(
-            any(w[0] < se < w[1] for se, _, md in submits if md == "async")
-            for w in windows)
-        max_async_block = max(
-            [d for _, d, md in submits if md == "async"], default=0.0)
-        assert overlapped or max_async_block < 0.5, \
-            (f"closure stalled tracking: max async submit block "
-             f"{max_async_block:.2f}s, no overlap with compute windows")
+        assert lock_free and all(lock_free), \
+            "map lock was unavailable during a Sim3 hypothesis compute"
         slam.shutdown()
 
     def test_failure_recovery(self, small_world):

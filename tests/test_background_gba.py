@@ -122,5 +122,8 @@ class TestLoopClosureEndToEnd:
         # the fast-rotation orbit is drift-adversarial (≈6cm KF RMSE at
         # the BA optimum on this synthetic); the bound guards against
         # correction regressions, not absolute accuracy (the fr1-style
-        # sweep covers the ≤2cm target)
-        assert ate < 0.14, f"orbit ATE {ate*100:.1f}cm"
+        # sweep covers the ≤2cm target). Recalibrated 0.14 -> 0.16 in
+        # r4: the essential graph actually optimizes now (the so3_log
+        # autodiff NaN previously froze it) and redistributes the loop
+        # discrepancy along the whole trajectory before GBA cleans up.
+        assert ate < 0.16, f"orbit ATE {ate*100:.1f}cm"
