@@ -39,6 +39,38 @@ def _progress(msg: str):
           file=sys.stderr, flush=True)
 
 
+def _cached_frames(tag: str, seq, n: int):
+    """Render-once disk cache: host rendering of synthetic frames costs
+    ~0.7 s/frame on this 2-core host and dominates the bench wall; the
+    renders are deterministic per (tag, n)."""
+    cache = os.path.join(os.path.expanduser("~/.cache"),
+                         f"orb_bench_{tag}_{n}.npz")
+    try:
+        z = np.load(cache)
+        gray = z["gray"].astype(np.float32)
+        depth = z["depth"].astype(np.float32) / 5000.0
+        rgb = z["rgb"]
+        ts = z["ts"]
+        return [(float(ts[i]), gray[i], depth[i], rgb[i])
+                for i in range(len(ts))]
+    except (OSError, KeyError):
+        pass
+    frames = [seq[i] for i in range(len(seq))]
+    try:
+        np.savez_compressed(
+            cache,
+            gray=np.stack([f[1] for f in frames]).astype(np.float16),
+            depth=np.clip(np.stack([f[2] for f in frames]) * 5000.0,
+                          0, 65535).astype(np.uint16),
+            rgb=np.stack([f[3] if f[3] is not None else
+                          np.zeros((*f[1].shape, 3), np.uint8)
+                          for f in frames]),
+            ts=np.asarray([f[0] for f in frames]))
+    except OSError:
+        pass
+    return frames
+
+
 def main():
     import jax
 
@@ -70,7 +102,7 @@ def main():
     seq = SyntheticRGBDSequence(world, Twc, ts,
                                 noise=SensorNoiseModel(seed=0))
     _progress("rendering noisy sweep frames")
-    frames = [seq[i] for i in range(len(seq))]
+    frames = _cached_frames("sweep_noisy_s0", seq, n_frames)
     ate = pipeline_fps = 0.0
     host_ms = {}
     for trial in range(2):
@@ -231,7 +263,8 @@ def _bench_full_system(cfg, world, n_full: int):
     Twc, ts = orbit_trajectory(n_full, angle_range=2.4 * np.pi)
     seq = SyntheticRGBDSequence(world, Twc, ts,
                                 noise=SensorNoiseModel(seed=1))
-    frames = [seq[i] for i in range(len(seq))]
+    _progress("rendering noisy orbit frames")
+    frames = _cached_frames("orbit_noisy_s1", seq, n_full)
     budget = 1.0 / 30.0          # reference frame period
     out = {}
     for trial in range(2):

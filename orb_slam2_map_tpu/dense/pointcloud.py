@@ -304,8 +304,9 @@ class DenseMapper:
             if not self.map.kf_exists[kid]:
                 continue
             Twc = self.map.kf_Twc(kid)
-            parts_x.append(np.asarray(_transform_cloud(
-                jnp.asarray(xyz_c), jnp.asarray(Twc))))
+            # host transform: per-KF clouds are voxel-compacted (~10k
+            # points); one device round trip per KF dwarfed the math
+            parts_x.append(xyz_c @ Twc[:3, :3].T + Twc[:3, 3])
             parts_c.append(col)
         if not parts_x:
             return

@@ -340,9 +340,11 @@ class AsyncRGBDPipeline:
                 profiling.PROFILER.add_sample(
                     "pipeline/replay_cap_dropped",
                     float(len(buffered) - len(replay)))
+                import sys
                 print(f"[pipeline] recovery replay cap: "
                       f"{len(buffered)} buffered frames > 12; the first "
-                      f"{len(buffered) - len(replay)} remain lost")
+                      f"{len(buffered) - len(replay)} remain lost",
+                      file=sys.stderr)
             for fid, ts, gray, depth, rgb in replay:
                 self._recovered_to = fid
                 t.frame_id = fid - 1

@@ -164,6 +164,14 @@ class LoopCloser:
             if hyp is None:
                 continue
             S12, mkp, mmp = hyp
+            # abort a stale background GBA BEFORE taking the map lock
+            # (reference: src/LoopClosing.cc:409-427 sets mbStopGBA then
+            # waits) — waiting under the lock stalled the supervisor for
+            # up to the GBA chunk length
+            if (self.run_global_ba_flag and self.background_gba is not None
+                    and self.background_gba.running()):
+                self.background_gba.abort()
+                self.background_gba.wait(timeout=60.0)
             with self.lock:
                 with profiling.stage("loop_closing/correct"):
                     if self._finalize_and_correct(kid, int(cand), S12,
@@ -229,9 +237,11 @@ class LoopCloser:
             profiling.PROFILER.add_sample(
                 "loop_closing/sim3_ransac_pad_truncated",
                 float(len(rows) - N_pad))
+            import sys
             print(f"[loop_closing] Sim3 RANSAC pad truncation: "
                   f"{len(rows)} BoW matches > pad {N_pad} "
-                  f"(KF {kid} vs {cand}); keeping the first {N_pad}")
+                  f"(KF {kid} vs {cand}); keeping the first {N_pad}",
+                  file=sys.stderr)
         npts = min(len(rows), N_pad)
         rows_r, cols_r = rows[:npts], cols[:npts]
         X1p = np.zeros((N_pad, 3), np.float32)
@@ -289,9 +299,11 @@ class LoopCloser:
             profiling.PROFILER.add_sample(
                 "loop_closing/sim3_opt_pad_truncated",
                 float(len(a_rows) - P))
+            import sys
             print(f"[loop_closing] Sim3 optimization pad truncation: "
                   f"{len(a_rows)} widened matches > pad {P} "
-                  f"(KF {kid} vs {cand}); keeping the first {P}")
+                  f"(KF {kid} vs {cand}); keeping the first {P}",
+                  file=sys.stderr)
         n_all = min(len(a_rows), P)
         a_rows, a_cols = a_rows[:n_all], a_cols[:n_all]
         X1o = np.zeros((P, 3), np.float32)
@@ -411,14 +423,15 @@ class LoopCloser:
         m = self.map
         R12, t12, s12 = S12
 
-        # corrected pose of current KF: S_cw = S12 * S_loop_w
+        # corrected pose of current KF: S_cw = S12 * S_loop_w.
+        # Host numpy throughout this section: these are 3x3 composes in
+        # a Python loop, and each jnp call was a device dispatch — the
+        # propagation alone cost seconds of tunnel round trips under
+        # the map lock.
         R_lw, t_lw = m.kf_R[loop_kf], m.kf_t[loop_kf]
-        R_cw_corr, t_cw_corr, s_cw_corr = sim3.compose(
-            jnp.asarray(R12), jnp.asarray(t12), jnp.asarray(s12),
-            jnp.asarray(R_lw), jnp.asarray(t_lw), jnp.asarray(1.0))
-        R_cw_corr = np.asarray(R_cw_corr)
-        t_cw_corr = np.asarray(t_cw_corr)
-        s_cw_corr = float(s_cw_corr)
+        R_cw_corr = np.asarray(R12) @ R_lw
+        t_cw_corr = float(s12) * (np.asarray(R12) @ t_lw) + np.asarray(t12)
+        s_cw_corr = float(s12)
 
         # pre-correction pose snapshot: essential-graph edge measurements
         # must reflect the uncorrected odometry (reference NonCorrectedSim3,
@@ -437,12 +450,11 @@ class LoopCloser:
             # S_ic = T_iw * T_wc_old
             R_ic = R_iw @ R_cw_old.T
             t_ic = t_iw - R_ic @ t_cw_old
-            # corrected S_iw = S_ic * S_cw_corr
-            Rn, tn, sn = sim3.compose(
-                jnp.asarray(R_ic), jnp.asarray(t_ic), jnp.asarray(1.0),
-                jnp.asarray(R_cw_corr), jnp.asarray(t_cw_corr),
-                jnp.asarray(s_cw_corr))
-            corrected[int(i)] = (np.asarray(Rn), np.asarray(tn), float(sn))
+            # corrected S_iw = S_ic * S_cw_corr (host numpy)
+            Rn = R_ic @ R_cw_corr
+            tn = R_ic @ t_cw_corr + t_ic
+            corrected[int(i)] = (Rn.astype(np.float32),
+                                 tn.astype(np.float32), float(s_cw_corr))
 
         # re-map the neighborhood's points: X' = S_wi_new(S_iw_old(X))
         moved = np.zeros(m.M, dtype=bool)
@@ -453,10 +465,10 @@ class LoopCloser:
             if len(mids) == 0:
                 continue
             Xc = m.mp_pos[mids] @ m.kf_R[i].T + m.kf_t[i]
-            Rni, tni, sni = sim3.inverse(jnp.asarray(Rn), jnp.asarray(tn),
-                                         jnp.asarray(sn))
-            Xw = np.asarray(sim3.act(Rni, tni, sni, jnp.asarray(Xc)))
-            m.mp_pos[mids] = Xw
+            # S_iw^-1 = (R^T, -R^T t / s, 1/s) applied on host
+            si = 1.0 / max(sn, 1e-12)
+            Xw = si * ((Xc - tn) @ Rn)
+            m.mp_pos[mids] = Xw.astype(np.float32)
             m.mark_points_dirty(mids)
             moved[mids] = True
 
@@ -509,12 +521,12 @@ class LoopCloser:
                                        R_pre, t_pre)
         if self.run_global_ba_flag:
             if self.background_gba is not None:
-                # abort a stale run (reference: src/LoopClosing.cc:409-427)
-                # and launch on the corrected map; results merge later via
-                # poll_background()
+                # a stale run was aborted lock-free before the correction
+                # (the _compute_sim3_and_correct pre-abort); this is only
+                # a short safety net
                 if self.background_gba.running():
                     self.background_gba.abort()
-                    self.background_gba.wait(timeout=30.0)
+                    self.background_gba.wait(timeout=5.0)
                 self.background_gba.launch(iters=20)
             else:
                 self._global_bundle_adjustment(kid)

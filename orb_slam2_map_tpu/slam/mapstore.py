@@ -130,6 +130,7 @@ class MapStore:
 
     def alloc_points(self, count: int) -> np.ndarray:
         ids = []
+        reused = False
         if self._next_mp + count <= self.M:
             ids = np.arange(self._next_mp, self._next_mp + count)
             self._next_mp += count
@@ -138,10 +139,22 @@ class MapStore:
             if len(free) < count:
                 raise RuntimeError("map point capacity exhausted")
             ids = free[:count]
+            reused = True
         self.mp_exists[ids] = True
         self.mp_visible[ids] = 1
         self.mp_found[ids] = 1
         self.mp_obs_count[ids] = 0
+        # a reused slot must shed any stale merge redirect, in BOTH
+        # directions: redirect[id] must be identity again, and entries
+        # of other (dead) ids still pointing AT this slot must not
+        # re-bind old observations to the unrelated new point
+        self.mp_redirect[ids] = ids
+        if reused:
+            stale = np.isin(self.mp_redirect, ids)
+            stale[ids] = False
+            if stale.any():
+                rows = np.nonzero(stale)[0]
+                self.mp_redirect[rows] = rows
         self._dirty_mp[ids] = True
         return np.asarray(ids, dtype=np.int64)
 

@@ -116,13 +116,15 @@ class Tracker:
         def build():
             return frame_mod.build_rgbd_frame(self.cfg, gray, depth_img)
 
-        # follow fuse merges in the last frame's bindings (reference:
-        # Tracking::CheckReplacedInLastFrame, src/Tracking.cc:465)
-        if self.last_obs is not None:
-            sel = self.last_obs >= 0
-            if sel.any():
-                self.last_obs[sel] = self.map.mp_redirect[
-                    self.last_obs[sel]]
+        # NOTE on CheckReplacedInLastFrame (src/Tracking.cc:465): the
+        # async device carry follows fuse merges via the published
+        # mp_redirect column (pipeline_step.fused_frame_step), where
+        # bindings persist across frames. The sync path deliberately
+        # does NOT follow merges here: it rebuilds bindings from the
+        # local map every frame anyway, and measured on the monocular
+        # orbit, re-binding to merged survivors (whose triangulated
+        # positions can be several sigma off) poisoned pose
+        # optimization (104/160 frames tracked -> 58/160).
 
         if self.state in (TrackingState.NO_IMAGES_YET,
                           TrackingState.NOT_INITIALIZED):
