@@ -350,9 +350,10 @@ class LoopCloser:
         alive = m.mp_exists[np.clip(mmp, 0, None)] & (mmp >= 0)
         mkp, mmp = mkp[alive], mmp[alive]
 
-        loop_points = self._loop_neighborhood_points(cand)
-        mkp, mmp = self._widen_with_loop_points(
-            kid, cand, S12, loop_points, mkp, mmp)
+        with profiling.stage("loop_closing/widen"):
+            loop_points = self._loop_neighborhood_points(cand)
+            mkp, mmp = self._widen_with_loop_points(
+                kid, cand, S12, loop_points, mkp, mmp)
         if len(mkp) < lcfg.sim3_min_total_matches:
             return False
         self._correct_loop(kid, cand, S12, loop_points, mkp, mmp)
@@ -507,27 +508,30 @@ class LoopCloser:
         # fuse loop points into the corrected neighborhood (SearchAndFuse,
         # reference: src/LoopClosing.cc:585-611) — one batched dispatch
         # over all corrected KFs instead of a round trip per KF
-        if loop_points is None:
-            loop_points = self._loop_neighborhood_points(loop_kf)
-        if len(loop_points) > 0:
-            loop_points = loop_points[m.mp_exists[loop_points]]
-            fuser.fuse_into_many(list(corrected), loop_points)
-        for i in corrected:
-            m.update_connections(int(i))
-        m.update_connections(loop_kf)
+        with profiling.stage("loop_closing/fuse"):
+            if loop_points is None:
+                loop_points = self._loop_neighborhood_points(loop_kf)
+            if len(loop_points) > 0:
+                loop_points = loop_points[m.mp_exists[loop_points]]
+                fuser.fuse_into_many(list(corrected), loop_points)
+            for i in corrected:
+                m.update_connections(int(i))
+            m.update_connections(loop_kf)
         self.map.loop_edges.append((kid, loop_kf))
 
-        self._optimize_essential_graph(kid, loop_kf, corrected,
-                                       R_pre, t_pre)
+        with profiling.stage("loop_closing/essential"):
+            self._optimize_essential_graph(kid, loop_kf, corrected,
+                                           R_pre, t_pre)
         if self.run_global_ba_flag:
             if self.background_gba is not None:
                 # a stale run was aborted lock-free before the correction
                 # (the _compute_sim3_and_correct pre-abort); this is only
                 # a short safety net
-                if self.background_gba.running():
-                    self.background_gba.abort()
-                    self.background_gba.wait(timeout=5.0)
-                self.background_gba.launch(iters=20)
+                with profiling.stage("loop_closing/gba_launch"):
+                    if self.background_gba.running():
+                        self.background_gba.abort()
+                        self.background_gba.wait(timeout=5.0)
+                    self.background_gba.launch(iters=20)
             else:
                 self._global_bundle_adjustment(kid)
         m.version += 1
@@ -588,6 +592,15 @@ class LoopCloser:
         if not edges:
             return
 
+        # COMPACT to live keyframes: the dense [7V, 7V] normal-equation
+        # solve scales cubically in the vertex count, and running it at
+        # MAP CAPACITY (e.g. 1024 slots for 54 live KFs) cost ~14 s per
+        # closure. Live ids remap to a power-of-two-padded dense range
+        # (one compile per size bucket).
+        slot_of = np.full(V, -1, dtype=np.int32)
+        slot_of[kfs] = np.arange(len(kfs), dtype=np.int32)
+        Vc = max(64, 1 << (len(kfs) - 1).bit_length())
+
         E = len(edges)
         E_pad = max(64, 1 << (E - 1).bit_length())
         ij = np.zeros((E_pad, 2), np.int32)
@@ -596,13 +609,18 @@ class LoopCloser:
         sm = np.ones(E_pad, np.float32)
         ev = np.zeros(E_pad, bool)
         for e, ((i, j), (Rji, tji, sji)) in enumerate(zip(edges, meas)):
-            ij[e] = (i, j)
+            ij[e] = (slot_of[i], slot_of[j])
             Rm[e], tm[e], sm[e] = Rji, tji, sji
             ev[e] = True
 
-        vertex_valid = m.kf_exists.copy()
-        fixed = np.zeros(V, bool)
-        fixed[loop_kf] = True
+        vertex_valid = np.zeros(Vc, bool)
+        vertex_valid[:len(kfs)] = True
+        fixed = np.zeros(Vc, bool)
+        fixed[slot_of[loop_kf]] = True
+        Rv = np.tile(np.eye(3, dtype=np.float32), (Vc, 1, 1))
+        tv = np.zeros((Vc, 3), np.float32)
+        Rv[:len(kfs)] = m.kf_R[kfs]
+        tv[:len(kfs)] = m.kf_t[kfs]
 
         # snapshot old poses for landmark correction
         R_old = m.kf_R.copy()
@@ -613,8 +631,8 @@ class LoopCloser:
         # essential graph rides the distributed backend, not only the
         # scaling benchmark)
         n_dev = len(jax.devices())
-        poses = (jnp.asarray(m.kf_R), jnp.asarray(m.kf_t),
-                 jnp.ones(V, jnp.float32))
+        poses = (jnp.asarray(Rv), jnp.asarray(tv),
+                 jnp.ones(Vc, jnp.float32))
         if n_dev > 1 and E >= 64:
             from jax.sharding import Mesh
 
@@ -642,7 +660,8 @@ class LoopCloser:
         s_new = np.asarray(res.s)
         for k in kfs:
             k = int(k)
-            m.set_kf_pose(k, R_new[k], t_new[k] / max(s_new[k], 1e-9))
+            c = slot_of[k]
+            m.set_kf_pose(k, R_new[c], t_new[c] / max(s_new[c], 1e-9))
 
         # landmark correction through each point's reference KF (:963-1010)
         mids = m.point_ids()
