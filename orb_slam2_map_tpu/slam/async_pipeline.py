@@ -410,6 +410,15 @@ class AsyncRGBDPipeline:
 
     def _loop_loop(self):
         lc = self.local_mapper.loop_closer
+        try:
+            # compile the essential-graph buckets before any closure
+            # arrives: the one jit compile that would otherwise happen
+            # inside the lock-held correction write-back
+            with profiling.stage("loop_closing/prewarm"):
+                lc.prewarm()
+        except Exception:  # pragma: no cover - warm-up is best-effort
+            import traceback
+            traceback.print_exc()
         while self._running:
             kid = self._loop_q.get()
             if kid is None:

@@ -16,6 +16,7 @@ src/LoopClosing.cc:743).
 from __future__ import annotations
 
 import contextlib
+import os
 from dataclasses import dataclass
 from typing import List, Optional, Set, Tuple
 
@@ -95,6 +96,39 @@ class LoopCloser:
         if self.background_gba is not None:
             return self.background_gba.poll()
         return False
+
+    def prewarm(self, buckets=((64, 64), (64, 128), (64, 256))) -> None:
+        """Compile the essential-graph optimizer for the first size
+        buckets BEFORE any closure arrives. The [Vc]-vertex pose-graph
+        program is the one jit compile that otherwise happens inside the
+        lock-held correction write-back — over a networked TPU a cold
+        compile costs tens of seconds of map-blocking time. Runs on the
+        loop thread at startup (off the hot path); results land in the
+        in-process and persistent compile caches, so this is a no-op
+        after the first process on a machine. Shapes/static args must
+        match the live call in _optimize_essential_graph exactly."""
+        if os.environ.get("ORB_TPU_NO_PREWARM") == "1":
+            return
+        for Vc, E_pad in buckets:
+            R = jnp.tile(jnp.eye(3, dtype=jnp.float32), (Vc, 1, 1))
+            t = jnp.zeros((Vc, 3), jnp.float32)
+            s = jnp.ones(Vc, jnp.float32)
+            ij = np.zeros((E_pad, 2), np.int32)
+            ij[0] = (1, 0)   # one real edge keeps the solve well-posed
+            Rm = jnp.tile(jnp.eye(3, dtype=jnp.float32), (E_pad, 1, 1))
+            tm = jnp.zeros((E_pad, 3), jnp.float32)
+            sm = jnp.ones(E_pad, jnp.float32)
+            ev = np.zeros(E_pad, bool)
+            ev[0] = True
+            valid = np.zeros(Vc, bool)
+            valid[:2] = True
+            fixed = np.zeros(Vc, bool)
+            fixed[0] = True
+            res = pose_graph.optimize_pose_graph(
+                (R, t, s), jnp.asarray(ij), (Rm, tm, sm),
+                jnp.asarray(ev), jnp.asarray(valid), jnp.asarray(fixed),
+                None, fix_scale=self.fix_scale, iters=20)
+            jax.block_until_ready(res.R)
 
     # ------------------------------------------------------------------
 

@@ -44,7 +44,9 @@ class SLAMSystem:
                  pipeline_depth: int = 24,
                  max_keyframes: int = 512, max_points: int = 1 << 16):
         from ..ops import orb
+        from ..utils import compile_cache
 
+        compile_cache.ensure()
         self.cfg = cfg
         self.sensor = sensor
         kp_cap = orb.total_capacity(cfg.orb)

@@ -27,6 +27,11 @@ jax.config.update("jax_compilation_cache_dir",
                   os.path.expanduser("~/.cache/jax_comp_cache_cpu"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+# the loop thread's essential-graph prewarm compiles buckets the small
+# test maps never hit — skip it suite-wide (one dedicated test exercises
+# prewarm explicitly with a single bucket)
+os.environ.setdefault("ORB_TPU_NO_PREWARM", "1")
+
 
 import pytest  # noqa: E402
 
