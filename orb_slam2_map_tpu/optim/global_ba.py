@@ -276,8 +276,11 @@ def _lm_loop(cam, prob, iters, cg_iters, use_huber, psum_axis, lam0):
         )
         # stop when an accepted step no longer buys relative improvement,
         # or damping has blown past any useful range (all chi2/lam values
-        # are shard-replicated, so the trip count agrees across devices)
-        plateau = ok & (cur - new <= 1e-4 * jnp.maximum(cur, 1e-12))
+        # are shard-replicated, so the trip count agrees across devices).
+        # 1e-6: the former 1e-4 threshold quit while pose error was still
+        # halving every few iterations — the live merge landed at 3.1 cm
+        # KF-ATE on a map whose optimum is 1.5 cm (r5 diagnostics)
+        plateau = ok & (cur - new <= 1e-6 * jnp.maximum(cur, 1e-12))
         cur = jnp.where(ok, new, cur)
         stuck = ~ok & (lam >= 1e5)
         lam = jnp.clip(jnp.where(ok, lam * 0.4, lam * 5.0), 1e-9, 1e5)

@@ -61,6 +61,9 @@ class BackgroundGBA:
         self._abort = threading.Event()
         self._staged = None           # (kfs, R, t, mids, X, snap)
         self._lock = threading.Lock()
+        # called with the 4x4 world transform of the latest keyframe's
+        # neighborhood after a merge (see LoopCloser.transform_listeners)
+        self.on_transform = None
 
     # ------------------------------------------------------------------
 
@@ -160,6 +163,12 @@ class BackgroundGBA:
             return False
         kfs, R, t, mids, X, snap = staged
         m = self.map
+        # anchor for the tracker-consistency transform: the newest live
+        # keyframe (the tracker's reference neighborhood)
+        live = m.keyframe_ids()
+        anchor = int(live[np.argmax(m.kf_frame_id[live])]) if len(live) \
+            else -1
+        anchor_Tcw_old = m.kf_Tcw(anchor) if anchor >= 0 else None
 
         # pre-merge poses (the reference's mTcwBefGBA,
         # src/LoopClosing.cc:689-695): children and points created during
@@ -218,6 +227,11 @@ class BackgroundGBA:
             m.mp_pos[mm] = (corr_Twc[ref] @ Xc)[:3]
         m.mark_all_points_dirty()   # bulk move: re-upload device columns
         m.version += 1
+        if anchor >= 0 and m.kf_exists[anchor] and \
+                self.on_transform is not None:
+            A = m.kf_Twc(anchor) @ anchor_Tcw_old
+            if float(np.abs(A - np.eye(4)).max()) > 1e-9:
+                self.on_transform(A)
         return True
 
     def wait(self, timeout: Optional[float] = None):

@@ -72,6 +72,8 @@ class _InFlight:
     frame: frame_mod.Frame
     published: Published
     rgb: Optional[np.ndarray]
+    deltas_applied: int = 0   # map-transform deltas folded into the
+                              # carry when this frame dispatched
 
 
 class AsyncRGBDPipeline:
@@ -131,9 +133,19 @@ class AsyncRGBDPipeline:
         self._loop_q: Optional["queue.Queue"] = None
         self._loop_thread = None
         self._force_republish = False
+        # map-transform deltas (loop corrections / GBA merges): each
+        # entry is (map_version_after, A_inv 4x4). The device carry and
+        # every in-flight result pose get re-based Tcw' = Tcw @ A_inv so
+        # tracking stays consistent when the map moves under it — the
+        # loop discrepancy is exactly the accumulated drift, which far
+        # exceeds the projection search window, so an uncorrected carry
+        # loses tracking right after every closure.
+        self._map_deltas: List[Tuple[int, np.ndarray]] = []
+        self._carry_deltas_applied = 0
         lc = getattr(self.local_mapper, "loop_closer", None)
         if lc is not None:
             lc.lock = self._map_lock
+            lc.transform_listeners.append(self._on_map_transform)
             self._loop_q = queue.Queue()
             self.local_mapper.loop_queue = self._loop_q
             self._loop_thread = threading.Thread(target=self._loop_loop,
@@ -177,6 +189,7 @@ class AsyncRGBDPipeline:
         with profiling.stage("pipeline/backpressure"):
             self._inflight_sem.acquire()
         pub = self._published
+        self._apply_pending_carry_deltas(pub)
         th = 3.0
         if fid - self.tracker.last_reloc_frame_id < int(self.cfg.camera.fps):
             th = 5.0
@@ -213,7 +226,9 @@ class AsyncRGBDPipeline:
         with self._pending_cv:
             self._pending_results += 1
         self._fetch_q.put(_InFlight(fid=fid, ts=ts, packed=packed, frame=f,
-                                    published=pub, rgb=rgb))
+                                    published=pub, rgb=rgb,
+                                    deltas_applied=
+                                    self._carry_deltas_applied))
 
     def flush(self) -> None:
         """Drain all in-flight frames, their supervision, any queued
@@ -242,6 +257,35 @@ class AsyncRGBDPipeline:
             self._loop_thread.join(timeout=5.0)
 
     # ------------------------------------------------------------------
+    # map-transform re-basing (loop corrections / GBA merges)
+    # ------------------------------------------------------------------
+
+    def _on_map_transform(self, A: np.ndarray):
+        """Called under the map lock when the tracker's neighborhood
+        moves by world transform A (X_new = A @ X_old). Registers the
+        delta for the device carry (applied at the next dispatch once
+        the published snapshot includes the move) and for in-flight
+        results (applied at supervision). The sync tracker's cached
+        poses are re-based by its own listener
+        (Tracker.apply_map_transform, registered by SLAMSystem)."""
+        Ainv = np.linalg.inv(A).astype(np.float32)
+        self._map_deltas.append((self.map.version, Ainv))
+
+    def _apply_pending_carry_deltas(self, pub: Published):
+        """Dispatch-thread: fold every delta already visible in the
+        published snapshot into the device carry (tiny async device
+        composes; never blocks)."""
+        while (self._carry_deltas_applied < len(self._map_deltas)
+               and self._map_deltas[self._carry_deltas_applied][0]
+               <= pub.version):
+            _, Ainv = self._map_deltas[self._carry_deltas_applied]
+            c = self._carry
+            Ra = jnp.asarray(Ainv[:3, :3])
+            ta = jnp.asarray(Ainv[:3, 3])
+            self._carry = c._replace(R=c.R @ Ra, t=c.R @ ta + c.t)
+            self._carry_deltas_applied += 1
+
+    # ------------------------------------------------------------------
     # mode transitions
     # ------------------------------------------------------------------
 
@@ -262,6 +306,9 @@ class AsyncRGBDPipeline:
             last_xy=lf.xy, last_ur=lf.ur, last_depth=lf.depth,
             last_desc=lf.desc, last_level=lf.level, last_angle=lf.angle,
             last_valid=lf.valid, ok=jnp.asarray(True))
+        # the fresh carry comes from the (re-based) sync tracker state:
+        # every registered delta is already folded in
+        self._carry_deltas_applied = len(self._map_deltas)
         with self._map_lock:
             self._publish(t.last_obs)
         self._mode = "async"
@@ -483,6 +530,10 @@ class AsyncRGBDPipeline:
         S = PACK_SCALARS
         R = packed[S:S + 9].reshape(3, 3).astype(np.float32)
         tt = packed[S + 9:S + 12].astype(np.float32)
+        # re-base to the current map frame: deltas registered after this
+        # frame dispatched (loop correction / GBA merge) moved the map
+        for _, Ainv in self._map_deltas[inflight.deltas_applied:]:
+            R, tt = R @ Ainv[:3, :3], R @ Ainv[:3, 3] + tt
         cur_obs = packed[S + 12:S + 12 + N].astype(np.int64)
         visible = packed[S + 12 + N:S + 12 + N + LOCAL_POINT_CAP] > 0.5
 

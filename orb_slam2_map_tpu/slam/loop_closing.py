@@ -82,6 +82,29 @@ class LoopCloser:
         # the fixed Sim3 RANSAC/optimization pads drop matches
         self.n_ransac_pad_truncations = 0
         self.n_opt_pad_truncations = 0
+        # map-transform listeners: called (under the map lock) with the
+        # 4x4 world-space SE3 `A` that the tracker's neighborhood just
+        # moved by (X_new = A @ X_old) whenever a loop correction or GBA
+        # merge discontinuously moves the map. Consumers (the async
+        # pipeline's device carry, the sync tracker's last-frame pose)
+        # transform their cached poses Tcw_new = Tcw_old @ A^-1 so
+        # tracking stays consistent with the corrected map — without
+        # this the post-correction frame matches old-frame predictions
+        # against new-frame points and tracking collapses (the
+        # reference's Tracking keeps running on mLastFrame's stale pose
+        # too, but its correction is mutex-blocking and its local points
+        # move WITH the neighborhood, reference src/LoopClosing.cc:403).
+        self.transform_listeners = []
+
+    def _notify_transform(self, A: np.ndarray):
+        if float(np.abs(A - np.eye(4)).max()) < 1e-9:
+            return
+        for fn in self.transform_listeners:
+            try:
+                fn(A)
+            except Exception:  # pragma: no cover
+                import traceback
+                traceback.print_exc()
 
     def enable_background_gba(self):
         """Run post-loop global BA on a worker with staged write-back
@@ -90,6 +113,7 @@ class LoopCloser:
         from ..parallel.background import BackgroundGBA
 
         self.background_gba = BackgroundGBA(self.cfg, self.map)
+        self.background_gba.on_transform = self._notify_transform
         return self.background_gba
 
     def poll_background(self) -> bool:
@@ -390,7 +414,12 @@ class LoopCloser:
                 kid, cand, S12, loop_points, mkp, mmp)
         if len(mkp) < lcfg.sim3_min_total_matches:
             return False
+        Tcw_old = m.kf_Tcw(kid)
         self._correct_loop(kid, cand, S12, loop_points, mkp, mmp)
+        # announce the net world-space motion of the tracker's
+        # neighborhood (Sim3 propagation + essential graph combined),
+        # anchored at the current KF: X_new = A @ X_old
+        self._notify_transform(m.kf_Twc(kid) @ Tcw_old)
         return True
 
     def _loop_neighborhood_points(self, loop_kf: int) -> np.ndarray:
@@ -565,7 +594,12 @@ class LoopCloser:
                     if self.background_gba.running():
                         self.background_gba.abort()
                         self.background_gba.wait(timeout=5.0)
-                    self.background_gba.launch(iters=20)
+                    # 60 iters with the tightened chi2 plateau: the
+                    # reference's 20 g2o iterations underconverged here
+                    # (3.1 cm vs the 1.5 cm optimum, r5 diagnostics);
+                    # the worker is backgrounded and abortable, so the
+                    # extra iterations cost no map-blocking time
+                    self.background_gba.launch(iters=60)
             else:
                 self._global_bundle_adjustment(kid)
         m.version += 1

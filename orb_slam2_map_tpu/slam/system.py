@@ -83,6 +83,12 @@ class SLAMSystem:
                                local_mapper=self._mapper_hook(async_mapping),
                                dense_mapper=self.dense_mapper,
                                relocalizer=self.place_db)
+        if self.loop_closer is not None:
+            # re-base the tracker's cached poses when a loop correction
+            # or GBA merge moves the map under it (see
+            # Tracker.apply_map_transform)
+            self.loop_closer.transform_listeners.append(
+                self.tracker.apply_map_transform)
         self._async = async_mapping
         self._worker = None
         self._queue: "queue.Queue[int]" = queue.Queue()

@@ -87,6 +87,26 @@ class Tracker:
     # public API
     # ------------------------------------------------------------------
 
+    def apply_map_transform(self, A: np.ndarray):
+        """Re-base cached poses when the map moves discontinuously under
+        the tracker (loop correction / GBA merge; X_new = A @ X_old):
+        Tcw' = Tcw @ A^-1 keeps the motion-model prediction consistent
+        with the corrected map — without this the first post-correction
+        frame projects old-frame predictions onto new-frame points and
+        the match search (window th=3-7 px) finds nothing. Registered as
+        a LoopCloser.transform_listener by SLAMSystem; always called
+        under the map lock / single-threaded sync phase. The velocity
+        (a relative transform) is invariant."""
+        Ainv = np.linalg.inv(A).astype(np.float32)
+        if self.last_frame is not None:
+            R = np.asarray(self.last_frame.R, dtype=np.float32)
+            t = np.asarray(self.last_frame.t, dtype=np.float32)
+            self.last_frame = self.last_frame._replace(
+                R=R @ Ainv[:3, :3], t=R @ Ainv[:3, 3] + t)
+        if self.async_pose is not None:
+            R, t = self.async_pose
+            self.async_pose = (R @ Ainv[:3, :3], R @ Ainv[:3, 3] + t)
+
     def track_rgbd(self, timestamp: float, gray: np.ndarray,
                    depth: np.ndarray, rgb: Optional[np.ndarray] = None
                    ) -> Optional[np.ndarray]:
@@ -211,7 +231,8 @@ class Tracker:
 
             if not self.only_tracking and self._need_new_keyframe(
                     f, cur_obs, close_counts):
-                self._create_new_keyframe(ts, f, cur_obs, rgb, depth_img)
+                f = self._create_new_keyframe(ts, f, cur_obs, rgb,
+                                              depth_img)
         else:
             self.state = TrackingState.LOST
             self.velocity = None
@@ -731,6 +752,12 @@ class Tracker:
             self.dense_mapper.insert_keyframe(kid, rgb, depth_img)
         # cur_obs may have been updated with the depth-created points
         np.copyto(cur_obs, obs)
+        # an inline loop correction / GBA merge during process_keyframe
+        # may have moved this KF: return the corrected pose so the
+        # caller's frame (-> last_frame, trajectory log) stays
+        # consistent with the corrected map
+        return frame_mod.set_pose(f, self.map.kf_R[kid],
+                                  self.map.kf_t[kid])
 
     def _create_points_from_depth(self, f: Frame, cur_obs, max_new: int
                                   ) -> np.ndarray:

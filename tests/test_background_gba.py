@@ -119,11 +119,10 @@ class TestLoopClosureEndToEnd:
         assert len(ts_est) >= len(ts) - 2
         pos_est = np.asarray([T[:3, 3] for T in Twc_est])
         ate = evaluate.ate_rmse(ts_est, pos_est, ts, Twc[:, :3, 3])
-        # the fast-rotation orbit is drift-adversarial (≈6cm KF RMSE at
-        # the BA optimum on this synthetic); the bound guards against
-        # correction regressions, not absolute accuracy (the fr1-style
-        # sweep covers the ≤2cm target). Recalibrated 0.14 -> 0.16 in
-        # r4: the essential graph actually optimizes now (the so3_log
-        # autodiff NaN previously froze it) and redistributes the loop
-        # discrepancy along the whole trajectory before GBA cleans up.
-        assert ate < 0.16, f"orbit ATE {ate*100:.1f}cm"
+        # r5: measured 1.67 cm on this scenario (BA-optimum floor of the
+        # orbit world: 0.76 cm KF RMSE, _diag_orbit.py). Two r5 fixes
+        # brought this from ~5 cm (and the r4 gate of 16 cm): tracker
+        # pose re-basing on loop corrections (Tracker.apply_map_transform)
+        # and the background GBA actually converging (plateau 1e-4 ->
+        # 1e-6, 60 iters). 4 cm leaves threading-schedule variance.
+        assert ate < 0.04, f"orbit ATE {ate*100:.1f}cm"
