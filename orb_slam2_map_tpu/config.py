@@ -124,6 +124,16 @@ class LoopClosingConfig:
     sim3_min_opt_inliers: int = 20        # (:327-330)
     sim3_min_total_matches: int = 40      # (:376-386)
     essential_graph_min_weight: int = 100 # src/Optimizer.cc:806,952
+    # minimum temporal separation (in frames) between a keyframe and a
+    # loop candidate. The reference relies on covisibility exclusion
+    # alone (src/LoopClosing.cc:121-124); when the covisibility edge to
+    # a ~1 s-old keyframe decays below the 15-point threshold (sparse
+    # mono maps, post-recovery fragmentation), such candidates pass
+    # that gate and burn loop-thread Sim3 attempts on what is simply
+    # the previous segment. One second keeps every genuine revisit
+    # (medium-range orbit overlaps included) while filtering the
+    # constant near-neighbor churn.
+    min_candidate_gap_frames: int = 30
 
 
 @dataclass(frozen=True)

@@ -333,6 +333,15 @@ def build_gba_problem(cfg, map_store, fixed_kf: int):
     P = len(mids)
     mp_slot = np.full(m.M, -1, np.int64)
     mp_slot[mids] = np.arange(P)
+    # pow2-pad cameras and points (not only observations): exact K/P
+    # shapes compiled a fresh XLA program for every map size — each
+    # background-GBA launch on a grown map paid a full compile on the
+    # worker (11 distinct global_ba_chunk cache entries after one bench
+    # run). Padded cameras are pinned (cam_free=False) and padded points
+    # have no observations (has_obs=False -> dp=0), so the solve is
+    # unchanged; consumers slice results by len(kfs)/len(mids).
+    K_pad = 1 << (K - 1).bit_length()
+    P_pad = 1 << (P - 1).bit_length()
 
     inv_sigma2_tab = 1.0 / np.asarray(cfg.orb.level_sigma2, np.float32)
     cam_i, pnt_i, uvs, urs, ivs = [], [], [], [], []
@@ -361,13 +370,20 @@ def build_gba_problem(cfg, map_store, fixed_kf: int):
         out[:O] = a
         return out
 
-    cam_free = np.ones(K, bool)
+    cam_free = np.zeros(K_pad, bool)
+    cam_free[:K] = True
     if fixed_kf >= 0 and kf_slot[fixed_kf] >= 0:
         cam_free[kf_slot[fixed_kf]] = False
 
+    Rp = np.tile(np.eye(3, dtype=np.float32), (K_pad, 1, 1))
+    tp = np.zeros((K_pad, 3), np.float32)
+    Rp[:K] = m.kf_R[kfs]
+    tp[:K] = m.kf_t[kfs]
+    Xp = np.zeros((P_pad, 3), np.float32)
+    Xp[:P] = m.mp_pos[mids]
     prob = GBAProblem(
-        R=jnp.asarray(m.kf_R[kfs]), t=jnp.asarray(m.kf_t[kfs]),
-        X=jnp.asarray(m.mp_pos[mids]),
+        R=jnp.asarray(Rp), t=jnp.asarray(tp),
+        X=jnp.asarray(Xp),
         cam_free=jnp.asarray(cam_free),
         cam_idx=jnp.asarray(pad(cam_i.astype(np.int32), ())),
         pnt_idx=jnp.asarray(pad(pnt_i.astype(np.int32), ())),
@@ -390,9 +406,9 @@ def run_global_ba(cfg, map_store, fixed_kf: int, iters: int = 20):
     m = map_store
     # project back to SO(3): f32 LM retractions drift R R^T off
     # identity, which SE3 composes downstream assume exact
-    U, _, Vt = np.linalg.svd(np.asarray(res.R))
+    U, _, Vt = np.linalg.svd(np.asarray(res.R)[:len(kfs)])
     m.kf_R[kfs] = (U @ Vt).astype(np.float32)
-    m.kf_t[kfs] = np.asarray(res.t)
-    m.mp_pos[mids] = np.asarray(res.X)
+    m.kf_t[kfs] = np.asarray(res.t)[:len(kfs)]
+    m.mp_pos[mids] = np.asarray(res.X)[:len(mids)]
     m.mark_all_points_dirty()
     m.version += 1

@@ -136,6 +136,7 @@ class BackgroundGBA:
         from ..utils import transfer
 
         R, t, X = transfer.fetch((prob.R, prob.t, prob.X))
+        R, t = R[:len(kfs)], t[:len(kfs)]   # drop pow2 camera pads
         # re-orthonormalize: tens of LM retractions accumulate ~1e-4 of
         # R R^T - I drift in f32, which the SE3 composes in the staged
         # spanning-tree correction would amplify (they assume R^-1=R^T)
@@ -143,6 +144,8 @@ class BackgroundGBA:
         R = np.ascontiguousarray((U @ Vt).astype(np.float32))
         if perm is not None:   # undo the owner-shard point permutation
             X = X[np.argsort(perm)][:len(mids)]
+        else:
+            X = X[:len(mids)]   # drop pow2 point pads
         with self._lock:
             # an abort requested at ANY point (even after convergence)
             # drops the result — the reference re-checks mbStopGBA before

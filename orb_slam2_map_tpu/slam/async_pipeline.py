@@ -223,6 +223,15 @@ class AsyncRGBDPipeline:
         # (~70 ms per batch measured, the end-to-end fps ceiling)
         if hasattr(packed, "copy_to_host_async"):
             packed.copy_to_host_async()
+        # ALSO prefetch the frame's feature arrays: if the supervisor
+        # promotes this frame to a keyframe, its blocking fetch
+        # (~82 KB, measured 160 ms mean inside the lock-held
+        # supervision) becomes a ready host copy. ~2.5 MB/s of extra
+        # tunnel traffic at 30 fps — noise next to the image uploads.
+        for arr in (f.xy, f.ur, f.depth, f.desc, f.level, f.angle,
+                    f.valid, f.inv_sigma2, f.response):
+            if hasattr(arr, "copy_to_host_async"):
+                arr.copy_to_host_async()
         with self._pending_cv:
             self._pending_results += 1
         self._fetch_q.put(_InFlight(fid=fid, ts=ts, packed=packed, frame=f,
@@ -467,7 +476,17 @@ class AsyncRGBDPipeline:
             import traceback
             traceback.print_exc()
         while self._running:
-            kid = self._loop_q.get()
+            try:
+                kid = self._loop_q.get(timeout=2.0)
+            except queue.Empty:
+                # idle: warm the next essential-graph size bucket ahead
+                # of need (compiles must never land inside the lock-held
+                # correction; see LoopCloser.maybe_prewarm)
+                try:
+                    lc.maybe_prewarm()
+                except Exception:  # pragma: no cover
+                    pass
+                continue
             if kid is None:
                 return
             try:

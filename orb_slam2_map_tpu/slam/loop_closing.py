@@ -121,38 +121,112 @@ class LoopCloser:
             return self.background_gba.poll()
         return False
 
-    def prewarm(self, buckets=((64, 64), (64, 128), (64, 256))) -> None:
-        """Compile the essential-graph optimizer for the first size
-        buckets BEFORE any closure arrives. The [Vc]-vertex pose-graph
-        program is the one jit compile that otherwise happens inside the
-        lock-held correction write-back — over a networked TPU a cold
-        compile costs tens of seconds of map-blocking time. Runs on the
-        loop thread at startup (off the hot path); results land in the
-        in-process and persistent compile caches, so this is a no-op
-        after the first process on a machine. Shapes/static args must
-        match the live call in _optimize_essential_graph exactly."""
+    def prewarm(self) -> None:
+        """Compile the smallest essential-graph bucket BEFORE any closure
+        arrives — the jit compile that otherwise happens inside the
+        lock-held correction write-back. Kept deliberately minimal (ONE
+        bucket): each compile/load costs 7-20 s of 2-core host time that
+        starves tracking during warm-up. Larger buckets are warmed
+        incrementally as the map approaches them (maybe_prewarm, idle
+        loop thread) and as a final guard right before a correction
+        takes the lock (_warm_for_correction, lock-free)."""
         if os.environ.get("ORB_TPU_NO_PREWARM") == "1":
             return
-        for Vc, E_pad in buckets:
-            R = jnp.tile(jnp.eye(3, dtype=jnp.float32), (Vc, 1, 1))
-            t = jnp.zeros((Vc, 3), jnp.float32)
-            s = jnp.ones(Vc, jnp.float32)
-            ij = np.zeros((E_pad, 2), np.int32)
-            ij[0] = (1, 0)   # one real edge keeps the solve well-posed
-            Rm = jnp.tile(jnp.eye(3, dtype=jnp.float32), (E_pad, 1, 1))
-            tm = jnp.zeros((E_pad, 3), jnp.float32)
-            sm = jnp.ones(E_pad, jnp.float32)
-            ev = np.zeros(E_pad, bool)
-            ev[0] = True
-            valid = np.zeros(Vc, bool)
-            valid[:2] = True
-            fixed = np.zeros(Vc, bool)
-            fixed[0] = True
+        self._warm_pose_graph_bucket(64)
+
+    _warmed_pg = None   # set of warmed (Vc, n_dev>1) keys
+
+    def _warm_pose_graph_bucket(self, Vc: int) -> None:
+        """Compile the pose-graph program for vertex bucket Vc (edge pad
+        4*Vc, matching _optimize_essential_graph) — including the
+        distributed variant when a device mesh is live (ADVICE r4: live
+        closures on multi-device ran the un-prewarmed
+        distributed_pose_graph)."""
+        n_dev = len(jax.devices())
+        key = (Vc, n_dev > 1)
+        if self._warmed_pg is None:
+            self._warmed_pg = set()
+        if key in self._warmed_pg:
+            return
+        self._warmed_pg.add(key)
+        E_pad = 4 * Vc
+        R = jnp.tile(jnp.eye(3, dtype=jnp.float32), (Vc, 1, 1))
+        t = jnp.zeros((Vc, 3), jnp.float32)
+        s = jnp.ones(Vc, jnp.float32)
+        ij = np.zeros((E_pad, 2), np.int32)
+        ij[0] = (1, 0)   # one real edge keeps the solve well-posed
+        Rm = jnp.tile(jnp.eye(3, dtype=jnp.float32), (E_pad, 1, 1))
+        tm = jnp.zeros((E_pad, 3), jnp.float32)
+        sm = jnp.ones(E_pad, jnp.float32)
+        ev = np.zeros(E_pad, bool)
+        ev[0] = True
+        valid = np.zeros(Vc, bool)
+        valid[:2] = True
+        fixed = np.zeros(Vc, bool)
+        fixed[0] = True
+        poses = (R, t, s)
+        if n_dev > 1:
+            from jax.sharding import Mesh
+
+            from ..parallel import dist_pose_graph
+
+            mesh = Mesh(np.asarray(jax.devices()), ("data",))
+            ij_s, meas_s, ev_s = dist_pose_graph.shard_edges(
+                ij, (np.asarray(Rm), np.asarray(tm), np.asarray(sm)),
+                ev, n_dev)
+            res = dist_pose_graph.distributed_pose_graph(
+                poses, jnp.asarray(ij_s),
+                tuple(jnp.asarray(a) for a in meas_s), jnp.asarray(ev_s),
+                jnp.asarray(valid), jnp.asarray(fixed), mesh, "data",
+                fix_scale=self.fix_scale, iters=20)
+        else:
             res = pose_graph.optimize_pose_graph(
-                (R, t, s), jnp.asarray(ij), (Rm, tm, sm),
+                poses, jnp.asarray(ij), (Rm, tm, sm),
                 jnp.asarray(ev), jnp.asarray(valid), jnp.asarray(fixed),
                 None, fix_scale=self.fix_scale, iters=20)
-            jax.block_until_ready(res.R)
+        jax.block_until_ready(res.R)
+
+    def maybe_prewarm(self) -> None:
+        """Idle-time warming (called by the loop thread between queue
+        polls, NEVER under the lock): as the live keyframe count
+        approaches the next vertex bucket, compile it ahead of need."""
+        if os.environ.get("ORB_TPU_NO_PREWARM") == "1":
+            return
+        n = self.map.n_keyframes()
+        Vc = max(64, 1 << max(n - 1, 1).bit_length())
+        self._warm_pose_graph_bucket(Vc)
+        if n > 0.75 * Vc:
+            self._warm_pose_graph_bucket(Vc * 2)
+
+    def _warm_for_correction(self, kid: int, loop_points: np.ndarray
+                             ) -> None:
+        """Lock-free final guard before a correction takes the map lock:
+        ensure every size bucket the lock-held write-back will hit is
+        already compiled — the pose-graph bucket for the live KF count
+        and the fuse bucket for the loop neighborhood's point count.
+        Runs the real kernels on snapshot data and discards the results
+        (a warm dispatch costs ~ms; a cold compile inside the lock cost
+        up to 10 s of map-blocking time in r5 measurements)."""
+        from . import mapping_kernels
+        from .local_mapping import LocalMapper
+
+        n = self.map.n_keyframes()
+        self._warm_pose_graph_bucket(max(64, 1 << max(n - 1, 1)
+                                         .bit_length()))
+        if len(loop_points) == 0:
+            return
+        m = self.map
+        fuser = LocalMapper(self.cfg, m)
+        pts = loop_points[m.mp_exists[loop_points]]
+        if len(pts) == 0:
+            return
+        # compile both the single-KF variant (widen) and the vmapped
+        # batch variant (SearchAndFuse) at this candidate bucket
+        d = fuser._fuse_into_dispatch(int(kid), pts)
+        db = fuser._fuse_into_many_dispatch([int(kid)], pts)
+        for dd in (d, db):
+            if dd is not None:
+                jax.block_until_ready(dd[2].ok)
 
     # ------------------------------------------------------------------
 
@@ -185,6 +259,13 @@ class LoopCloser:
             return []
         min_score = self.db.min_score_vs_neighbors(kid)
         cands = self.db.detect_loop_candidates(kid, max(min_score, 0.01))
+        if len(cands) > 0:
+            # temporal gate: a loop is a REVISIT — candidates closer
+            # than min_candidate_gap_frames are adjacent-segment
+            # reconnections (covisibility exclusion misses them after a
+            # recovery fragments the graph), not loops
+            gap = self.map.kf_frame_id[kid] - self.map.kf_frame_id[cands]
+            cands = cands[gap >= lcfg.min_candidate_gap_frames]
         if len(cands) == 0:
             self.consistent_groups = []
             return []
@@ -222,6 +303,25 @@ class LoopCloser:
             if hyp is None:
                 continue
             S12, mkp, mmp = hyp
+            # --- lock-free pre-correction phase: everything that does
+            # NOT need write-consistency runs on snapshot-grade reads —
+            # the final projection widen (a device dispatch + fetch,
+            # formerly the bulk of the lock-held time) and the compile
+            # warming of every size bucket the write-back will hit ---
+            loop_points = self._loop_neighborhood_points(int(cand))
+            with profiling.stage("loop_closing/warm_buckets"):
+                try:
+                    self._warm_for_correction(kid, loop_points)
+                except Exception:  # pragma: no cover - warm is best-effort
+                    import traceback
+                    traceback.print_exc()
+            alive = self.map.mp_exists[np.clip(mmp, 0, None)] & (mmp >= 0)
+            mkp, mmp = mkp[alive], mmp[alive]
+            with profiling.stage("loop_closing/widen"):
+                mkp, mmp = self._widen_with_loop_points(
+                    kid, int(cand), S12, loop_points, mkp, mmp)
+            if len(mkp) < self.cfg.loop_closing.sim3_min_total_matches:
+                continue
             # abort a stale background GBA BEFORE taking the map lock
             # (reference: src/LoopClosing.cc:409-427 sets mbStopGBA then
             # waits) — waiting under the lock stalled the supervisor for
@@ -233,7 +333,7 @@ class LoopCloser:
             with self.lock:
                 with profiling.stage("loop_closing/correct"):
                     if self._finalize_and_correct(kid, int(cand), S12,
-                                                  mkp, mmp):
+                                                  loop_points, mkp, mmp):
                         return True
         return False
 
@@ -396,22 +496,19 @@ class LoopCloser:
         return S12, mkp, mmp
 
     def _finalize_and_correct(self, kid: int, cand: int, S12,
+                              loop_points: np.ndarray,
                               mkp: np.ndarray, mmp: np.ndarray) -> bool:
-        """Under the map lock: revalidate the hypothesis against the
-        live map, run the final projection widen over the loop
-        neighborhood's points at th=10, apply the >= 40 total-matches
-        gate (reference: src/LoopClosing.cc:340-395), then correct."""
+        """Under the map lock: revalidate the (lock-free computed)
+        hypothesis + widened matches against the live map, re-apply the
+        >= 40 total-matches gate (reference: src/LoopClosing.cc:340-395),
+        then correct. Point-level staleness (merges/culls since the
+        lock-free widen) is handled per pair inside _correct_loop."""
         m = self.map
         lcfg = self.cfg.loop_closing
         if not (m.kf_exists[kid] and m.kf_exists[cand]):
             return False
         alive = m.mp_exists[np.clip(mmp, 0, None)] & (mmp >= 0)
         mkp, mmp = mkp[alive], mmp[alive]
-
-        with profiling.stage("loop_closing/widen"):
-            loop_points = self._loop_neighborhood_points(cand)
-            mkp, mmp = self._widen_with_loop_points(
-                kid, cand, S12, loop_points, mkp, mmp)
         if len(mkp) < lcfg.sim3_min_total_matches:
             return False
         Tcw_old = m.kf_Tcw(kid)
@@ -670,7 +767,13 @@ class LoopCloser:
         Vc = max(64, 1 << (len(kfs) - 1).bit_length())
 
         E = len(edges)
-        E_pad = max(64, 1 << (E - 1).bit_length())
+        # E_pad keyed to Vc (not to E): one compiled program per vertex
+        # bucket instead of a (Vc, E) grid — each extra bucket costs a
+        # 7-20 s compile/load on the loop thread (r5: the 3-bucket
+        # prewarm burned 100-200 s of 2-core host time while tracking
+        # warmed up). 4*Vc covers spanning tree + loop + >=100-weight
+        # covis edges in practice; larger E falls back to its own pow2.
+        E_pad = max(4 * Vc, 1 << (E - 1).bit_length())
         ij = np.zeros((E_pad, 2), np.int32)
         Rm = np.tile(np.eye(3, dtype=np.float32), (E_pad, 1, 1))
         tm = np.zeros((E_pad, 3), np.float32)

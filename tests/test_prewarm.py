@@ -25,7 +25,8 @@ def test_prewarm_compiles_smallest_bucket():
         # must exercise the exact live call signature; a shape/static-arg
         # drift between prewarm and _optimize_essential_graph would make
         # the warm-up useless (and this test fail on the API change)
-        lc.prewarm(buckets=((64, 64),))
+        lc.prewarm()
+        assert (64, False) in lc._warmed_pg or (64, True) in lc._warmed_pg
     finally:
         if old is not None:
             os.environ["ORB_TPU_NO_PREWARM"] = old
@@ -36,7 +37,9 @@ def test_prewarm_env_gate():
     m = MapStore(max_keyframes=64, max_points=256, kp_capacity=128)
     lc = LoopCloser(cfg, m, place_db=None)
     os.environ["ORB_TPU_NO_PREWARM"] = "1"
-    lc.prewarm(buckets=((1 << 20, 1 << 20),))   # would OOM if not gated
+    lc.prewarm()           # gated: must not compile anything
+    lc.maybe_prewarm()
+    assert not lc._warmed_pg
 
 
 def test_compile_cache_respects_existing_setting():
