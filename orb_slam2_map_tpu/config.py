@@ -124,6 +124,20 @@ class LoopClosingConfig:
     sim3_min_opt_inliers: int = 20        # (:327-330)
     sim3_min_total_matches: int = 40      # (:376-386)
     essential_graph_min_weight: int = 100 # src/Optimizer.cc:806,952
+    # TPU-native extension (no reference equivalent): launch the
+    # background global BA every N keyframes even WITHOUT a loop
+    # closure. The reference only runs GBA after CorrectLoop
+    # (src/LoopClosing.cc:575) because whole-map BA is unaffordable on
+    # its CPU budget; on a TPU the implicit-Schur solve rides spare
+    # MXU cycles on the background worker, keeping drift continuously
+    # small instead of letting it accumulate until a closure. 0 = off.
+    # NOTE: periodic GBA polishes map consistency but CANNOT remove
+    # drift (without loop constraints the observations are
+    # drift-consistent; r5 measurements show mid-run merges are ATE-
+    # neutral). Frame-level drift is recovered by the final trajectory
+    # refinement (Tracker.trajectory(refine=True)) once a closure has
+    # corrected the keyframes.
+    periodic_gba_kfs: int = 10
     # minimum temporal separation (in frames) between a keyframe and a
     # loop candidate. The reference relies on covisibility exclusion
     # alone (src/LoopClosing.cc:121-124); when the covisibility edge to

@@ -99,6 +99,16 @@ class BackgroundGBA:
         """(reference: mbStopGBA, src/LoopClosing.cc:412-421)."""
         self._abort.set()
 
+    def discard_staged(self):
+        """Drop a completed-but-unmerged result. Called (under the map
+        lock) by a loop correction: a result computed on pre-correction
+        poses merging AFTER the correction would silently undo it —
+        the staging window the reference doesn't have (its GBA thread
+        applies results immediately under the map mutex,
+        src/LoopClosing.cc:660-741)."""
+        with self._lock:
+            self._staged = None
+
     def _run(self, prob, kfs, mids, snap, iters):
         import jax
         import jax.numpy as jnp

@@ -62,6 +62,15 @@ class Published:
     mids_dev: jnp.ndarray       # [C] int32 padded
     mp_valid_dev: jnp.ndarray   # [C] bool
     version: int
+    # reference KF id + its pose AT PUBLISH TIME: frame poses computed
+    # against this snapshot log their Tcr against THIS pose, so the
+    # relative transform is internally consistent. Composing the device
+    # pose with the ref-KF pose read at supervision time instead mixes
+    # two map epochs (local BA / GBA merges move keyframes in between)
+    # — measured as per-frame error growing with |Tcr| up to ~12 cm
+    # RMSE on the 1000-frame orbit while KF ATE was 1.3 cm.
+    ref_kf: int = -1
+    ref_Tcw: Optional[np.ndarray] = None
 
 
 @dataclass
@@ -345,8 +354,17 @@ class AsyncRGBDPipeline:
 
     def _publish_finish(self, cols, mp_alive, cand):
         if cand is None:
-            # fall back to the most-observed points
-            mids = np.nonzero(self.map.mp_exists)[0][:LOCAL_POINT_CAP]
+            # no covisibility votes available: fall back to the current
+            # ref KF's neighborhood (points the tracker can actually
+            # see), not the arbitrary lowest-id live points
+            ref = self.tracker.ref_kf
+            if ref >= 0 and self.map.kf_exists[ref]:
+                hood = [ref] + self.map.covisible_keyframes(
+                    ref, top_n=10).tolist()
+                mids = np.nonzero(self.map.observed_mask(
+                    np.asarray(hood)))[0][:LOCAL_POINT_CAP]
+            else:
+                mids = np.nonzero(self.map.mp_exists)[0][:LOCAL_POINT_CAP]
             pad = LOCAL_POINT_CAP - len(mids)
             mids_p = np.concatenate([mids, np.zeros(pad, dtype=np.int64)])
             valid = np.concatenate([np.ones(len(mids), bool),
@@ -361,10 +379,14 @@ class AsyncRGBDPipeline:
         with profiling.stage("pipeline/publish_put"):
             mids_dev, valid_dev = jax.device_put(
                 (mids_p.astype(np.int32), valid))
+        ref = self.tracker.ref_kf
         self._published = Published(
             cols=cols, mp_alive=mp_alive, mids_np=mids,
             mids_dev=mids_dev, mp_valid_dev=valid_dev,
-            version=self.map.version)
+            version=self.map.version,
+            ref_kf=ref,
+            ref_Tcw=(self.map.kf_Tcw(ref) if ref >= 0
+                     and self.map.kf_exists[ref] else None))
 
     def _recover(self):
         """Roll back to synchronous tracking after an async failure:
@@ -379,8 +401,8 @@ class AsyncRGBDPipeline:
         failed = self._failed_at
         self._failed_at = None
         self._mode = "sync"
+        t = self.tracker
         with self._map_lock:
-            t = self.tracker
             t.state = TrackingState.LOST
             t.velocity = None
             # re-track the buffered frames from the failure point through
@@ -389,7 +411,7 @@ class AsyncRGBDPipeline:
             start = max(failed if failed is not None else 0,
                         self._recovered_to + 1)
             buffered = [fr for fr in self._ring if fr[0] >= start]
-            replay = buffered[-12:]
+            replay = buffered[-8:]
             if len(buffered) > len(replay):
                 # no-silent-caps: frames beyond the replay window stay
                 # logged as lost instead of being re-tracked
@@ -398,13 +420,19 @@ class AsyncRGBDPipeline:
                     float(len(buffered) - len(replay)))
                 import sys
                 print(f"[pipeline] recovery replay cap: "
-                      f"{len(buffered)} buffered frames > 12; the first "
+                      f"{len(buffered)} buffered frames > 8; the first "
                       f"{len(buffered) - len(replay)} remain lost",
                       file=sys.stderr)
-            for fid, ts, gray, depth, rgb in replay:
+        # per-frame locking: a replay spans seconds of sync tracking
+        # (device round trips); holding the map lock across it starved
+        # the mapper/loop threads exactly when the backlog most needed
+        # draining (measured 17 s lockwait spikes)
+        for fid, ts, gray, depth, rgb in replay:
+            with self._map_lock:
                 self._recovered_to = fid
                 t.frame_id = fid - 1
                 t.track_rgbd(ts, gray, depth, rgb=rgb)
+        with self._map_lock:
             if (t.state == TrackingState.OK
                     and t.velocity is not None):
                 self._enter_async()
@@ -538,10 +566,15 @@ class AsyncRGBDPipeline:
     def _process_result(self, inflight: _InFlight, packed: np.ndarray):
         t = self.tracker
         # merge any finished background global BA (staged write-back,
-        # reference: src/LoopClosing.cc:643-744) — we own the map here
+        # reference: src/LoopClosing.cc:643-744) — we own the map here.
+        # The republish happens at the END of this supervision step with
+        # the frame's REAL bindings: publishing with none (r4 behavior)
+        # degraded the local-candidate set to the arbitrary
+        # most-observed fallback and the next frames drifted ~15 cm
+        # until the throttled refresh caught up.
         lc = getattr(self.local_mapper, "loop_closer", None)
         if lc is not None and lc.poll_background():
-            self._publish(None)
+            self._force_republish = True
         n_mm, n_inl_mm, n_inl_final = packed[0], packed[1], packed[2]
         close_tracked, close_untracked = int(packed[3]), int(packed[4])
         ok = packed[5] > 0.5
@@ -549,8 +582,13 @@ class AsyncRGBDPipeline:
         S = PACK_SCALARS
         R = packed[S:S + 9].reshape(3, 3).astype(np.float32)
         tt = packed[S + 9:S + 12].astype(np.float32)
-        # re-base to the current map frame: deltas registered after this
-        # frame dispatched (loop correction / GBA merge) moved the map
+        # the raw device pose is consistent with the dispatched
+        # snapshot's map epoch; keep it for snapshot-relative logging
+        R_snap, tt_snap = R, tt
+        # re-base to the CURRENT map frame: deltas registered after this
+        # frame dispatched (loop correction / GBA merge) moved the map.
+        # Used for everything that must live in the current epoch
+        # (async_pose truncation anchor, keyframe creation).
         for _, Ainv in self._map_deltas[inflight.deltas_applied:]:
             R, tt = R @ Ainv[:3, :3], R @ Ainv[:3, 3] + tt
         cur_obs = packed[S + 12:S + 12 + N].astype(np.int64)
@@ -580,21 +618,35 @@ class AsyncRGBDPipeline:
         # latest supervised pose: candidate frustum truncation anchors
         # here (tracking.Tracker._local_candidates)
         t.async_pose = (R, tt)
-        # trajectory log relative to the current reference KF
+        # trajectory log: Tcr against the ref-KF pose FROM THE SNAPSHOT
+        # this frame was computed against (same map epoch — see
+        # Published.ref_Tcw). Falls back to the live ref KF when the
+        # snapshot predates the first keyframe.
         Tcw = np.eye(4, dtype=np.float32)
-        Tcw[:3, :3] = R
-        Tcw[:3, 3] = tt
-        Trw = self.map.kf_Tcw(t.ref_kf)
-        t.logs.append(FrameLog(timestamp=inflight.ts, ref_kf=t.ref_kf,
-                               Tcr=Tcw @ np.linalg.inv(Trw), lost=False))
+        pub = inflight.published
+        if pub.ref_Tcw is not None:
+            Tcw[:3, :3] = R_snap
+            Tcw[:3, 3] = tt_snap
+            ref, Trw = pub.ref_kf, pub.ref_Tcw
+        else:
+            Tcw[:3, :3] = R
+            Tcw[:3, 3] = tt
+            ref, Trw = t.ref_kf, self.map.kf_Tcw(t.ref_kf)
+        f = inflight.frame
+        fake_cur = np.where(self.map.mp_exists[np.clip(cur_obs, 0, None)]
+                            & (cur_obs >= 0), cur_obs, -1)
+        from .tracking import obs_snapshot
+        t.logs.append(FrameLog(
+            timestamp=inflight.ts, ref_kf=ref,
+            Tcr=Tcw @ np.linalg.inv(Trw), lost=False,
+            # binding snapshot for the final trajectory refinement
+            # (frame arrays were prefetched to host at dispatch)
+            obs=obs_snapshot(fake_cur, f.xy, f.ur, f.inv_sigma2)))
 
         # keyframe policy (reference: src/Tracking.cc:1261-1358), with the
         # reference's local-mapping backpressure (:1340-1350): while the
         # mapper is behind (results queued up), defer keyframe insertion
         # unless the hard c1a timeout forces one
-        f = inflight.frame
-        fake_cur = np.where(self.map.mp_exists[np.clip(cur_obs, 0, None)]
-                            & (cur_obs >= 0), cur_obs, -1)
         # mapping backpressure (reference: Tracking.cc:1340-1350): the
         # reference does NOT wait for LocalMapping to go idle — it
         # interrupts the local BA and inserts unless the queue is

@@ -70,6 +70,14 @@ class LoopCloser:
         self.background_gba = None   # set to a parallel.background.
                                      # BackgroundGBA to run GBA off-thread
         self.consistent_groups: List[Tuple[Set[int], int]] = []
+        # (query kid, candidate covis group) of recently FAILED Sim3
+        # attempts: each attempt costs seconds of loop-thread device
+        # dispatches (r5: 23 attempts for 3 closures), and the same
+        # candidate region re-fires on consecutive keyframes; back off
+        # for a couple of keyframes before retrying the same region
+        self._failed_sim3: List[Tuple[int, Set[int]]] = []
+        self._empty_detect_rounds = 0
+        self._last_periodic_gba_kid = 0
         self.last_loop_kf = 0
         self.loop_detected = False   # consumed by dense mapping rebuild
         self.n_loops_closed = 0
@@ -239,6 +247,8 @@ class LoopCloser:
         with self.lock:
             self.db.maybe_refresh()
             cands = self._detect_loop(kid)
+            if len(cands) == 0:
+                self._maybe_periodic_gba(kid)
         if len(cands) == 0:
             return
         ok = self._compute_sim3_and_correct(kid, cands)
@@ -246,6 +256,23 @@ class LoopCloser:
             self.last_loop_kf = kid
             self.n_loops_closed += 1
             self.loop_detected = True
+
+    def _maybe_periodic_gba(self, kid: int):
+        """TPU-native drift control (see config.periodic_gba_kfs):
+        re-launch the background global BA every N keyframes so global
+        consistency is maintained continuously rather than only after a
+        closure. Caller holds the map lock (launch snapshots the map);
+        the worker runs off-thread and merges via the usual staged
+        write-back + pose re-basing."""
+        n = self.cfg.loop_closing.periodic_gba_kfs
+        if (n <= 0 or self.background_gba is None
+                or self.background_gba.running()
+                or kid - self._last_periodic_gba_kid < n
+                or self.map.n_keyframes() < 4):
+            return
+        with profiling.stage("loop_closing/periodic_gba_launch"):
+            if self.background_gba.launch(iters=40):
+                self._last_periodic_gba_kid = kid
 
     # ------------------------------------------------------------------
 
@@ -267,8 +294,19 @@ class LoopCloser:
             gap = self.map.kf_frame_id[kid] - self.map.kf_frame_id[cands]
             cands = cands[gap >= lcfg.min_candidate_gap_frames]
         if len(cands) == 0:
-            self.consistent_groups = []
+            # deliberate deviation from the reference (which clears the
+            # consistency groups on any empty round,
+            # src/LoopClosing.cc:224-228): at low keyframe density a
+            # revisit window may span only ~4 keyframes, and a single
+            # BoW dropout round would reset the 3-consecutive chain and
+            # lose the loop. The chain survives exactly ONE empty round.
+            if self._empty_detect_rounds == 0 and self.consistent_groups:
+                self._empty_detect_rounds = 1
+            else:
+                self.consistent_groups = []
+                self._empty_detect_rounds = 0
             return []
+        self._empty_detect_rounds = 0
 
         # covisibility-consistency voting (:153-212)
         enough: List[int] = []
@@ -295,12 +333,20 @@ class LoopCloser:
         Sim3 RANSAC → SearchBySim3 match widening → Sim3 optimization →
         final projection widen with the loop neighborhood's points,
         accepted only at >= sim3_min_total_matches (40) total."""
+        self._failed_sim3 = [(k, g) for k, g in self._failed_sim3
+                             if kid - k <= 2]
         for cand in cands:
+            cand_group = set(
+                self.map.covisible_keyframes(int(cand)).tolist())
+            cand_group.add(int(cand))
+            if any(cand_group & g for _, g in self._failed_sim3):
+                continue   # this region just failed; retry in >=2 KFs
             with self.lock:
                 snap = self._snapshot_pair(kid, int(cand))
             with profiling.stage("loop_closing/sim3_compute"):
                 hyp = self._compute_sim3(snap)
             if hyp is None:
+                self._failed_sim3.append((kid, cand_group))
                 continue
             S12, mkp, mmp = hyp
             # --- lock-free pre-correction phase: everything that does
@@ -511,6 +557,10 @@ class LoopCloser:
         mkp, mmp = mkp[alive], mmp[alive]
         if len(mkp) < lcfg.sim3_min_total_matches:
             return False
+        if self.background_gba is not None:
+            # a COMPLETED GBA staged on pre-correction poses must never
+            # merge after this correction (it would undo it)
+            self.background_gba.discard_staged()
         Tcw_old = m.kf_Tcw(kid)
         self._correct_loop(kid, cand, S12, loop_points, mkp, mmp)
         # announce the net world-space motion of the tracker's

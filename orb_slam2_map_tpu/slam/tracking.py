@@ -44,12 +44,54 @@ class TrackingState(enum.Enum):
 @dataclass
 class FrameLog:
     """Per-frame trajectory log entry (reference: include/Tracking.h:
-    111-116 mlRelativeFramePoses etc.)."""
+    111-116 mlRelativeFramePoses etc.).
+
+    `obs` additionally retains the frame's map-point bindings
+    (mids, uv, ur, inv_sigma2) — a few KB/frame — enabling the
+    TPU-native final trajectory refinement: after loop closure + global
+    BA have corrected the MAP, every logged frame re-localizes against
+    the final point positions in one vmapped pose-optimization batch
+    (Tracker.trajectory(refine=True)). The reference cannot afford an
+    offline re-optimization pass of every frame at shutdown on CPU; on
+    the MXU it is one dispatch."""
 
     timestamp: float
     ref_kf: int
     Tcr: np.ndarray      # frame pose relative to its reference KF
     lost: bool
+    obs: Optional[tuple] = None   # (mids i32[K], uv f32[K,2],
+                                  #  ur f32[K], inv_sigma2 f32[K])
+
+
+def obs_snapshot(obs: np.ndarray, xy, ur, inv_sigma2):
+    """Compact per-frame binding snapshot for trajectory refinement."""
+    rows = np.nonzero(obs >= 0)[0]
+    if len(rows) == 0:
+        return None
+    return (np.asarray(obs)[rows].astype(np.int32),
+            np.asarray(xy)[rows].astype(np.float32),
+            np.asarray(ur)[rows].astype(np.float32),
+            np.asarray(inv_sigma2)[rows].astype(np.float32))
+
+
+_REFINE_JITS = {}
+
+
+def _refine_batch_jit(cam):
+    """Per-camera jitted vmap of the 4x10-LM pose optimizer over a
+    frame batch (module-level cache: one compile per (camera, shape)
+    bucket)."""
+    key = cam
+    if key not in _REFINE_JITS:
+        import functools
+
+        import jax
+
+        from ..optim import pose_opt
+
+        _REFINE_JITS[key] = jax.jit(jax.vmap(
+            functools.partial(pose_opt.pose_optimize, cam)))
+    return _REFINE_JITS[key]
 
 
 class Tracker:
@@ -826,8 +868,11 @@ class Tracker:
         Tcw = self._pose_of(f)
         Trw = self.map.kf_Tcw(self.ref_kf)
         Tcr = Tcw @ np.linalg.inv(Trw)
+        obs = None
+        if not lost and self.last_obs is not None:
+            obs = obs_snapshot(self.last_obs, f.xy, f.ur, f.inv_sigma2)
         self.logs.append(FrameLog(timestamp=ts, ref_kf=self.ref_kf,
-                                  Tcr=Tcr, lost=lost))
+                                  Tcr=Tcr, lost=lost, obs=obs))
 
     def reset(self):
         """(reference: src/Tracking.cc:1808-1850)."""
@@ -840,11 +885,20 @@ class Tracker:
         self.ref_kf = -1
         self.logs.clear()
 
-    def trajectory(self) -> Tuple[np.ndarray, np.ndarray]:
+    def trajectory(self, refine: bool = True
+                   ) -> Tuple[np.ndarray, np.ndarray]:
         """Recover the full camera trajectory Twc per frame through the
         (possibly re-optimized / culled) reference keyframes
-        (reference: src/System.cc:349-402 SaveTrajectoryTUM)."""
-        ts, mats = [], []
+        (reference: src/System.cc:349-402 SaveTrajectoryTUM).
+
+        refine=True additionally re-localizes EVERY logged frame
+        against the FINAL map in one vmapped pose-optimization batch
+        (see FrameLog.obs): loop closure + global BA correct keyframes
+        retroactively, but the relative Tcr logs bake in whatever drift
+        existed at track time — on the MXU, polishing all frames at
+        once costs one dispatch, so the trajectory inherits the
+        corrected map's accuracy instead of the live drift."""
+        ts, mats, obs_list = [], [], []
         for log in self.logs:
             if log.lost:
                 continue
@@ -861,4 +915,64 @@ class Tracker:
             Twc = np.linalg.inv(Tcw)
             ts.append(log.timestamp)
             mats.append(Twc)
-        return np.asarray(ts), np.asarray(mats)
+            obs_list.append(log.obs)
+        mats = np.asarray(mats)
+        if refine and len(mats) and any(o is not None for o in obs_list):
+            mats = self._refine_trajectory(mats, obs_list)
+        return np.asarray(ts), mats
+
+    REFINE_OBS_CAP = 512   # per-frame observation pad for the batch
+
+    def _refine_trajectory(self, Twc: np.ndarray, obs_list) -> np.ndarray:
+        """Batched pose-only re-localization of logged frames against
+        the final map (one vmapped 4x10 LM dispatch). Frames whose
+        refined solve keeps < 15 inliers (points culled since, or a
+        degenerate set) keep their composed pose."""
+        import jax
+
+        from ..optim import pose_opt
+
+        m = self.map
+        F = len(Twc)
+        P = self.REFINE_OBS_CAP
+        X = np.zeros((F, P, 3), np.float32)
+        uv = np.zeros((F, P, 2), np.float32)
+        ur = np.full((F, P), -1.0, np.float32)
+        is2 = np.ones((F, P), np.float32)
+        valid = np.zeros((F, P), bool)
+        R0 = np.zeros((F, 3, 3), np.float32)
+        t0 = np.zeros((F, 3), np.float32)
+        for i, (T, o) in enumerate(zip(Twc, obs_list)):
+            R0[i] = T[:3, :3].T
+            t0[i] = -T[:3, :3].T @ T[:3, 3]
+            if o is None:
+                continue
+            mids, uv_i, ur_i, is2_i = o
+            mids = m.mp_redirect[np.clip(mids, 0, m.M - 1)]
+            alive = m.mp_exists[mids]
+            k = min(int(alive.sum()), P)
+            sel = np.nonzero(alive)[0][:k]
+            X[i, :k] = m.mp_pos[mids[sel]]
+            uv[i, :k] = uv_i[sel]
+            ur[i, :k] = ur_i[sel]
+            is2[i, :k] = is2_i[sel]
+            valid[i, :k] = True
+        F_pad = max(64, 1 << (F - 1).bit_length())
+
+        def pad(a):
+            out = np.zeros((F_pad,) + a.shape[1:], a.dtype)
+            out[:F] = a
+            return out
+
+        res = _refine_batch_jit(self.cfg.camera)(
+            pad(R0), pad(t0), pad(X), pad(uv), pad(ur), pad(is2),
+            pad(valid))
+        R_new = np.asarray(res.R)[:F]
+        t_new = np.asarray(res.t)[:F]
+        n_inl = np.asarray(res.n_inliers)[:F]
+        ok = n_inl >= 15
+        out = Twc.copy()
+        Rn = np.swapaxes(R_new[ok], 1, 2)
+        out[ok, :3, :3] = Rn
+        out[ok, :3, 3] = -np.einsum("fij,fj->fi", Rn, t_new[ok])
+        return out
