@@ -155,6 +155,59 @@ for sl in stalls:
     run = run + 1 if sl else 0
     max_stall = max(max_stall, run)
 log(f"max_stall {max_stall}")
+
+# --- refinement postmortem: per-frame inlier counts + path taken for
+#     the worst frames ---
+tr = slam.tracker
+ts_raw, Twc_raw = tr.trajectory(refine=False)
+pos_raw = np.asarray([T[:3, 3] for T in Twc_raw])
+s2, R2, t2 = evaluate.umeyama_alignment(pos_raw[ia], Twc[ib, :3, 3])
+err_raw = np.linalg.norm(Twc[ib, :3, 3] -
+                         (s2 * pos_raw[ia] @ R2.T + t2), axis=1)
+log(f"UNREFINED traj ATE {np.sqrt((err_raw**2).mean())*100:.2f} cm")
+# recompute refinement capture of inlier counts
+import orb_slam2_map_tpu.slam.tracking as trk
+orig_interp = trk._se3_interp
+interp_used = set()
+def count_interp(Ta, Tb, w):
+    interp_used.add(len(interp_used))
+    return orig_interp(Ta, Tb, w)
+ninl_rec = {}
+orig_jit = trk._refine_batch_jit
+def capture_jit(cam):
+    fn = orig_jit(cam)
+    def wrapper(*args):
+        res = fn(*args)
+        ninl_rec["n"] = np.asarray(res.n_inliers)
+        return res
+    return wrapper
+trk._refine_batch_jit = capture_jit
+ts_r, Twc_r = tr.trajectory(refine=True)
+trk._refine_batch_jit = orig_jit
+n_inl = ninl_rec.get("n")
+if n_inl is not None:
+    logs_ok = [l for l in tr.logs if not l.lost]
+    m = slam.map
+    cam = cfg.camera
+    for w in worst[:6]:
+        fi = ia[w]
+        l = logs_ok[fi]
+        extra = ""
+        if l.obs is not None:
+            mids, uv_o, ur_o, is2_o = l.obs
+            mids = m.mp_redirect[np.clip(mids, 0, m.M - 1)]
+            alive = m.mp_exists[mids]
+            j = int(np.argmin(np.abs(ts - l.timestamp)))
+            Tcw_gt = np.linalg.inv(Twc[j])
+            Xc = m.mp_pos[mids[alive]] @ Tcw_gt[:3, :3].T + Tcw_gt[:3, 3]
+            z = np.maximum(Xc[:, 2], 1e-6)
+            u = cam.fx * Xc[:, 0] / z + cam.cx
+            v = cam.fy * Xc[:, 1] / z + cam.cy
+            r = np.hypot(u - uv_o[alive, 0], v - uv_o[alive, 1])
+            extra = (f" gt-reproj px: med {np.median(r):.1f} "
+                     f"p90 {np.percentile(r, 90):.1f} n={alive.sum()}")
+        log(f"  worst ts={ts_est[fi]:.2f} err={err[w]*100:.1f}cm "
+            f"refine_inliers={int(n_inl[fi])}{extra}")
 summ = profiling.PROFILER.summary()
 for k in sorted(summ):
     v = summ[k]

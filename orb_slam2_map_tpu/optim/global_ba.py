@@ -404,11 +404,19 @@ def run_global_ba(cfg, map_store, fixed_kf: int, iters: int = 20):
     prob, kfs, mids = built
     res = global_ba(cfg.camera, prob, iters)
     m = map_store
+    Rn = np.asarray(res.R)[:len(kfs)]
+    tn = np.asarray(res.t)[:len(kfs)]
+    Xn = np.asarray(res.X)[:len(mids)]
+    # write-back guard: a degenerate solve must never teleport the map
+    pose_ok = np.isfinite(tn).all(axis=1) \
+        & (np.linalg.norm(tn - m.kf_t[kfs], axis=1) < 3.0)
+    pt_ok = np.isfinite(Xn).all(axis=1) \
+        & (np.linalg.norm(Xn - m.mp_pos[mids], axis=1) < 10.0)
     # project back to SO(3): f32 LM retractions drift R R^T off
     # identity, which SE3 composes downstream assume exact
-    U, _, Vt = np.linalg.svd(np.asarray(res.R)[:len(kfs)])
-    m.kf_R[kfs] = (U @ Vt).astype(np.float32)
-    m.kf_t[kfs] = np.asarray(res.t)[:len(kfs)]
-    m.mp_pos[mids] = np.asarray(res.X)[:len(mids)]
+    U, _, Vt = np.linalg.svd(Rn[pose_ok])
+    m.kf_R[kfs[pose_ok]] = (U @ Vt).astype(np.float32)
+    m.kf_t[kfs[pose_ok]] = tn[pose_ok]
+    m.mp_pos[mids[pt_ok]] = Xn[pt_ok]
     m.mark_all_points_dirty()
     m.version += 1

@@ -193,8 +193,10 @@ class BackgroundGBA:
             corr_Twc[int(k)] = _se3_inv(_se3_mat(R[i], t[i]))
             old_Tcw[int(k)] = _se3_mat(m.kf_R[k], m.kf_t[k])
 
-        # 1) keyframes that existed at launch: staged poses
-        alive = m.kf_exists[kfs]
+        # 1) keyframes that existed at launch: staged poses (guarded:
+        # a degenerate solve must never teleport the map)
+        alive = m.kf_exists[kfs] & np.isfinite(t).all(axis=1) \
+            & (np.linalg.norm(t - m.kf_t[kfs], axis=1) < 3.0)
         m.kf_R[kfs[alive]] = R[alive]
         m.kf_t[kfs[alive]] = t[alive]
 
@@ -226,7 +228,8 @@ class BackgroundGBA:
         #    added during the run move with their reference keyframe
         #    (reference: src/LoopClosing.cc:698-733)
         mids = np.asarray(mids)
-        palive = m.mp_exists[mids]
+        palive = m.mp_exists[mids] & np.isfinite(X).all(axis=1) \
+            & (np.linalg.norm(X - m.mp_pos[mids], axis=1) < 10.0)
         m.mp_pos[mids[palive]] = X[palive]
         new_mids = np.nonzero(m.mp_exists)[0]
         new_mids = np.asarray([mm for mm in new_mids

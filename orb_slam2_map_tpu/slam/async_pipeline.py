@@ -151,6 +151,7 @@ class AsyncRGBDPipeline:
         # loses tracking right after every closure.
         self._map_deltas: List[Tuple[int, np.ndarray]] = []
         self._carry_deltas_applied = 0
+        self._notok_streak = 0
         lc = getattr(self.local_mapper, "loop_closer", None)
         if lc is not None:
             lc.lock = self._map_lock
@@ -159,11 +160,25 @@ class AsyncRGBDPipeline:
             self.local_mapper.loop_queue = self._loop_q
             self._loop_thread = threading.Thread(target=self._loop_loop,
                                                  daemon=True)
+        # continuous-refinement thread: local BA decoupled from the KF
+        # queue. The mapper's effort ladder used to shed BA under
+        # backlog and mid-run drift exploded whenever host scheduling
+        # starved it (r5: 2-33 cm run-to-run variance); BA is mostly
+        # device-wait (GIL released), so a dedicated loop sustains
+        # refinement at whatever rate the device allows regardless of
+        # bookkeeping load.
+        self._ba_thread = None
+        if self.local_mapper is not None:
+            self.local_mapper.external_ba = True
+            self._ba_thread = threading.Thread(target=self._ba_loop,
+                                               daemon=True)
         self._fetcher.start()
         self._supervisor.start()
         self._mapper.start()
         if self._loop_thread is not None:
             self._loop_thread.start()
+        if self._ba_thread is not None:
+            self._ba_thread.start()
 
     # ------------------------------------------------------------------
     # main-thread API
@@ -273,6 +288,8 @@ class AsyncRGBDPipeline:
         self._mapper.join(timeout=5.0)
         if self._loop_thread is not None:
             self._loop_thread.join(timeout=5.0)
+        if self._ba_thread is not None:
+            self._ba_thread.join(timeout=10.0)
 
     # ------------------------------------------------------------------
     # map-transform re-basing (loop corrections / GBA merges)
@@ -489,6 +506,30 @@ class AsyncRGBDPipeline:
                 self._kf_q.task_done()
 
     # ------------------------------------------------------------------
+    # continuous-refinement thread: local BA at device rate
+    # ------------------------------------------------------------------
+
+    def _ba_loop(self):
+        while self._running:
+            try:
+                m = self.map
+                if m.n_keyframes() < 3:
+                    _time.sleep(0.1)
+                    continue
+                live = m.keyframe_ids()
+                kid = int(live[np.argmax(m.kf_frame_id[live])])
+                n0 = len(self._map_deltas)
+                with profiling.stage("pipeline/continuous_ba"):
+                    self.local_mapper._local_bundle_adjustment(
+                        kid, discard_if=lambda:
+                        len(self._map_deltas) > n0)
+            except Exception:  # pragma: no cover
+                import traceback
+                traceback.print_exc()
+                _time.sleep(0.5)
+            _time.sleep(0.02)
+
+    # ------------------------------------------------------------------
     # loop-closing thread: the reference's LoopClosing loop (:58-102)
     # ------------------------------------------------------------------
 
@@ -597,14 +638,24 @@ class AsyncRGBDPipeline:
         if self._failed_at is not None and inflight.fid > self._failed_at:
             ok = False   # everything after a failure is untrusted
         if not ok:
+            # grace window: a brief matching dropout (motion blur, a
+            # texture-poor wall) often recovers by itself — the device
+            # carry freezes its pose and the in-program 2x-window retry
+            # re-acquires within a few frames. Declaring failure
+            # immediately cost a 3-8 s pipeline drain + sync replay and
+            # corrupted ~20 frames of trajectory per event.
             if self._failed_at is None:
-                self._failed_at = inflight.fid
+                self._notok_streak += 1
+                if self._notok_streak > 3:
+                    self._failed_at = inflight.fid
+                    t.failure_ts.append(float(inflight.ts))
             # log as lost; pose withheld
             t.logs.append(FrameLog(timestamp=inflight.ts,
                                    ref_kf=t.ref_kf,
                                    Tcr=np.eye(4, dtype=np.float32),
                                    lost=True))
             return
+        self._notok_streak = 0
 
         # visibility / found counters (reference: Tracking.cc:1470-1505)
         mids_pub = inflight.published.mids_np

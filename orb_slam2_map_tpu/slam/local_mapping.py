@@ -43,6 +43,8 @@ class LocalMapper:
         self.loop_closer = loop_closer
         self.loop_queue = None   # set by the async pipeline: keyframes
                                  # hand off to a dedicated loop thread
+        self.external_ba = False  # set by the async pipeline: local BA
+                                  # runs on its continuous thread
         self.recent_points: List[np.ndarray] = []  # queues for culling
         self.recent_kf: List[int] = []
         self.enabled = True
@@ -95,7 +97,12 @@ class LocalMapper:
                     self._create_new_map_points(kid)
                 with profiling.stage("local_mapping/fuse"):
                     self._fuse_neighbors(kid)
-            if effort == "full" and n_kfs > 2:
+            # external_ba: the async pipeline runs local BA on its own
+            # continuous-refinement thread (device-bound, overlaps this
+            # thread's bookkeeping) — under backlog the effort ladder
+            # used to shed BA entirely and drift exploded (r5: 33 cm
+            # mid-run KF error whenever scheduling starved the BA)
+            if not self.external_ba and effort == "full" and n_kfs > 2:
                 with profiling.stage("local_mapping/local_ba"):
                     self._local_bundle_adjustment(kid)
             if effort == "full":
@@ -491,9 +498,14 @@ class LocalMapper:
 
     # ------------------------------------------------------------------
 
-    def _local_bundle_adjustment(self, kid: int):
+    def _local_bundle_adjustment(self, kid: int, discard_if=None):
         """Assemble the dense padded BA problem and run the jitted solver
-        (reference: src/Optimizer.cc:453-778)."""
+        (reference: src/Optimizer.cc:453-778). `discard_if`, when given,
+        is checked right before write-back: a loop correction / GBA
+        merge that moved the map while this solve ran makes the result
+        stale (its poses would undo the correction), so it is dropped —
+        the staged-write-back discipline of BackgroundGBA, applied to
+        the continuous-refinement thread."""
         mstore = self.map
         with self._hold("ba_read"):
             built = self._build_ba_inputs(kid)
@@ -506,6 +518,8 @@ class LocalMapper:
             R_f, t_f, X_f, inl_f = transfer.fetch(  # ONE d->h, no lock
                 (res.R_free, res.t_free, res.X, res.inlier_free))
 
+        if discard_if is not None and discard_if():
+            return
         with self._hold("ba_write"):
             # write back poses + points. Rotations are re-projected to
             # SO(3): repeated f32 LM retractions drift R R^T off identity
@@ -513,11 +527,28 @@ class LocalMapper:
             # corrections, Tcp recovery) amplify since they use R^T as
             # the inverse
             K = len(free_ids)
-            U, _, Vt = np.linalg.svd(R_f[:K])
-            mstore.kf_R[free_ids] = (U @ Vt).astype(np.float32)
-            mstore.kf_t[free_ids] = t_f[:K]
             P = len(mids)
-            alive = mstore.mp_exists[mids]
+            # sanity guard (defense in depth for the continuous-BA
+            # thread): a solve that went degenerate must never teleport
+            # the map — r5 observed runs where points landed at quasi-
+            # infinite range and tracking never recovered
+            pose_ok = (np.isfinite(t_f[:K]).all(axis=1)
+                       & (np.linalg.norm(
+                           t_f[:K] - mstore.kf_t[free_ids], axis=1) < 2.0))
+            pt_ok = (np.isfinite(X_f[:P]).all(axis=1)
+                     & (np.linalg.norm(
+                         X_f[:P] - mstore.mp_pos[mids], axis=1) < 5.0))
+            if not pose_ok.all() or not pt_ok.all():
+                import sys
+                print(f"[local_ba] write-back guard: rejected "
+                      f"{int((~pose_ok).sum())} poses / "
+                      f"{int((~pt_ok).sum())} points (divergent solve)",
+                      file=sys.stderr)
+            wids = free_ids[pose_ok]
+            U, _, Vt = np.linalg.svd(R_f[:K][pose_ok])
+            mstore.kf_R[wids] = (U @ Vt).astype(np.float32)
+            mstore.kf_t[wids] = t_f[:K][pose_ok]
+            alive = mstore.mp_exists[mids] & pt_ok
             mstore.mp_pos[mids[alive]] = X_f[:P][alive]
             mstore.mark_points_dirty(mids[alive])
 

@@ -74,6 +74,30 @@ def obs_snapshot(obs: np.ndarray, xy, ur, inv_sigma2):
             np.asarray(inv_sigma2)[rows].astype(np.float32))
 
 
+def _se3_interp(Ta: np.ndarray, Tb: np.ndarray, w: float) -> np.ndarray:
+    """Geodesic SE3 interpolation (rotation slerp via axis-angle +
+    linear translation) between two Twc poses."""
+    Ra, Rb = Ta[:3, :3], Tb[:3, :3]
+    dR = Rb @ Ra.T
+    cos_a = np.clip(0.5 * (np.trace(dR) - 1.0), -1.0, 1.0)
+    ang = np.arccos(cos_a)
+    if ang < 1e-8:
+        Rw = Ra
+    else:
+        axis = np.asarray([dR[2, 1] - dR[1, 2], dR[0, 2] - dR[2, 0],
+                           dR[1, 0] - dR[0, 1]]) / (2.0 * np.sin(ang))
+        a = w * ang
+        K = np.asarray([[0, -axis[2], axis[1]],
+                        [axis[2], 0, -axis[0]],
+                        [-axis[1], axis[0], 0]])
+        Rw = (np.eye(3) + np.sin(a) * K
+              + (1 - np.cos(a)) * (K @ K)) @ Ra
+    T = np.eye(4, dtype=np.float32)
+    T[:3, :3] = Rw.astype(np.float32)
+    T[:3, 3] = ((1 - w) * Ta[:3, 3] + w * Tb[:3, 3]).astype(np.float32)
+    return T
+
+
 _REFINE_JITS = {}
 
 
@@ -120,6 +144,13 @@ class Tracker:
         self.velocity: Optional[Tuple[np.ndarray, np.ndarray]] = None
         self.logs: List[FrameLog] = []
         self.matches_inliers = 0
+        # timestamps at which tracking failure was declared (async
+        # pipeline): frames shortly BEFORE a failure are suspect —
+        # tracking degrades into confident ghost matches (consistent
+        # wrong-region bindings) before it collapses — and the final
+        # trajectory refinement interpolates them instead of trusting
+        # their bindings
+        self.failure_ts: List[float] = []
 
         cam = cfg.camera
         self.max_frames_between_kf = int(cam.fps)
@@ -777,7 +808,28 @@ class Tracker:
         c1c = (self.matches_inliers < ref_matches * 0.25) or need_close
         c2 = ((self.matches_inliers < ref_matches * th_ref_ratio or need_close)
               and self.matches_inliers > 15)
-        return bool((c1a or c1b or c1c) and c2)
+        # view-change trigger (config.kf_rotation_deg/_translation_m):
+        # bypasses c2 — a rotated/translated viewpoint is a new anchor
+        # even while the candidate union keeps inlier counts high
+        c_view = False
+        tcfg = self.cfg.tracking
+        if (tcfg.kf_rotation_deg > 0 and self.ref_kf >= 0
+                and self.map.kf_exists[self.ref_kf]
+                and self.matches_inliers > 15):
+            pose = self.async_pose
+            if pose is None and self.last_frame is not None:
+                pose = (np.asarray(self.last_frame.R),
+                        np.asarray(self.last_frame.t))
+            if pose is not None:
+                R, t = pose
+                Rr, tr = self.map.kf_R[self.ref_kf], \
+                    self.map.kf_t[self.ref_kf]
+                cos_a = 0.5 * (np.trace(R @ Rr.T) - 1.0)
+                ang = np.degrees(np.arccos(np.clip(cos_a, -1.0, 1.0)))
+                dist = np.linalg.norm(-R.T @ t - (-Rr.T @ tr))
+                c_view = bool(ang >= tcfg.kf_rotation_deg
+                              or dist >= tcfg.kf_translation_m)
+        return bool(((c1a or c1b or c1c) and c2) or c_view)
 
     def _create_new_keyframe(self, ts, f: Frame, cur_obs, rgb, depth_img):
         """(reference: src/Tracking.cc:1360-1445)."""
@@ -898,7 +950,8 @@ class Tracker:
         existed at track time — on the MXU, polishing all frames at
         once costs one dispatch, so the trajectory inherits the
         corrected map's accuracy instead of the live drift."""
-        ts, mats, obs_list = [], [], []
+        ts, mats, obs_list, suspect = [], [], [], []
+        pre_w = 20.0 / max(self.cfg.camera.fps, 1.0)
         for log in self.logs:
             if log.lost:
                 continue
@@ -916,14 +969,18 @@ class Tracker:
             ts.append(log.timestamp)
             mats.append(Twc)
             obs_list.append(log.obs)
+            suspect.append(any(0.0 <= ft - log.timestamp <= pre_w
+                               for ft in self.failure_ts))
         mats = np.asarray(mats)
         if refine and len(mats) and any(o is not None for o in obs_list):
-            mats = self._refine_trajectory(mats, obs_list)
+            mats = self._refine_trajectory(mats, obs_list,
+                                           np.asarray(suspect, bool))
         return np.asarray(ts), mats
 
     REFINE_OBS_CAP = 512   # per-frame observation pad for the batch
 
-    def _refine_trajectory(self, Twc: np.ndarray, obs_list) -> np.ndarray:
+    def _refine_trajectory(self, Twc: np.ndarray, obs_list,
+                           suspect=None) -> np.ndarray:
         """Batched pose-only re-localization of logged frames against
         the final map (one vmapped 4x10 LM dispatch). Frames whose
         refined solve keeps < 15 inliers (points culled since, or a
@@ -970,9 +1027,73 @@ class Tracker:
         R_new = np.asarray(res.R)[:F]
         t_new = np.asarray(res.t)[:F]
         n_inl = np.asarray(res.n_inliers)[:F]
-        ok = n_inl >= 15
+        # anchoring gate, RELATIVE to the run's norm: frames tracked
+        # just before a failure keep a handful of corrupted bindings —
+        # their refinement "succeeds" onto a wrong pose with 15-40
+        # inliers while healthy frames hold hundreds. Weakly-anchored
+        # frames interpolate between solid neighbors instead.
+        med = float(np.median(n_inl[n_inl > 0])) if (n_inl > 0).any() \
+            else 0.0
+        ok = n_inl >= max(15.0, 0.25 * med)
+        if suspect is not None:
+            # frames in the window before a declared tracking failure:
+            # their bindings may be confident ghost matches (the
+            # degradation that caused the failure) — interpolate them
+            # from anchored neighbors instead
+            ok &= ~suspect
         out = Twc.copy()
         Rn = np.swapaxes(R_new[ok], 1, 2)
         out[ok, :3, :3] = Rn
         out[ok, :3, 3] = -np.einsum("fij,fj->fi", Rn, t_new[ok])
+        # frames that could not re-anchor (recovery windows: few or
+        # corrupted bindings) interpolate between their nearest
+        # anchored neighbors — at sensor rate the inter-frame motion is
+        # ~cm, so SE3 interpolation over a short gap beats the drifted
+        # composed pose it replaces
+        good = ok.copy()
+        # kinematic outlier pass: repetitive texture can latch a frame
+        # onto bindings shifted by one texture period — a consistent
+        # wrong association that passes every chi2 gate with hundreds
+        # of "inliers" yet sits several cm off. At sensor rate the true
+        # second difference of camera position is sub-cm (even vigorous
+        # handheld motion: ~5 m/s^2 * (1/30 s)^2 = 0.6 cm), so frames
+        # deviating > 3 cm from their neighbors' midpoint are
+        # association failures, not motion.
+        # iterate: each pass flags cluster boundaries and replaces them
+        # with interpolation from anchored neighbors, exposing the next
+        # layer of a multi-frame aliased cluster
+        # threshold adapts to the sampling rate: at sensor rate the
+        # per-frame step is ~1 cm and 3 cm of second difference is an
+        # association failure; sparsely-sampled sequences (tests,
+        # skipped frames) have legitimately curved steps
+        p0 = out[:, :3, 3]
+        med_step = (float(np.median(np.linalg.norm(np.diff(p0, axis=0),
+                                                   axis=1)))
+                    if F >= 2 else 0.0)
+        kin_th = max(0.03, 0.6 * med_step)
+        for _pass in range(5):
+            if F >= 3:
+                p = out[:, :3, 3]
+                mid = 0.5 * (p[:-2] + p[2:])
+                dev = np.linalg.norm(p[1:-1] - mid, axis=1)
+                kin_bad = np.zeros(F, bool)
+                kin_bad[1:-1] = dev > kin_th
+                good &= ~kin_bad
+            good_idx = np.nonzero(good)[0]
+            if not (2 <= len(good_idx) < F):
+                break
+            changed = False
+            for i in np.nonzero(~good)[0]:
+                p_ = good_idx[good_idx < i]
+                n_ = good_idx[good_idx > i]
+                if len(p_) == 0 or len(n_) == 0:
+                    continue
+                a, b = int(p_[-1]), int(n_[0])
+                if b - a > 45:    # gap too long to trust interpolation
+                    continue
+                w = (i - a) / (b - a)
+                out[i] = _se3_interp(out[a], out[b], w)
+                changed = True
+            if not changed:
+                break
         return out

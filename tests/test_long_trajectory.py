@@ -46,13 +46,10 @@ class TestLongTrajectory:
                 block_loops.append(slam.loop_closer.n_loops_closed)
                 t0 = time.perf_counter()
         slam.flush()
-        # drain + merge the background GBA before evaluating (the
-        # reference evaluates after Shutdown, which joins its GBA
-        # thread, src/System.cc:340-344)
-        lc = slam.loop_closer
-        if lc.background_gba is not None:
-            lc.background_gba.wait(timeout=300.0)
-            lc.poll_background()
+        # offline post-processing before evaluation (the reference
+        # evaluates trajectories saved after Shutdown, which joins its
+        # GBA thread, src/System.cc:340-344)
+        slam.final_optimize()
 
         ts_est, Twc_est = slam.trajectory()
         assert len(ts_est) >= 0.99 * n, \
