@@ -114,6 +114,17 @@ class AsyncRGBDPipeline:
 
         self._fetch_q: "queue.Queue[Optional[_InFlight]]" = queue.Queue()
         self._result_q: "queue.Queue" = queue.Queue()
+        # uploader thread: image conversion + device_put run OFF the
+        # dispatch critical path. Inline upload serialized ~6 ms/frame
+        # with device compute (probe: step-only 11.9 ms vs upload+step
+        # 18.0 ms — a 55 fps ceiling before any host work); a one-frame
+        # lookahead lets frame t+1's host->device transfer ride the
+        # tunnel while frame t's compute and supervision proceed.
+        self._upload_q: "queue.Queue" = queue.Queue(maxsize=2)
+        self._uploaded_q: "queue.Queue" = queue.Queue(maxsize=2)
+        self._pending_uploads = 0   # main-thread-only counter
+        self._uploader = threading.Thread(target=self._upload_loop,
+                                          daemon=True)
         # host-map ownership; reentrant: recovery holds it across the
         # sync replay and re-enters via _enter_async/_publish
         self._map_lock = threading.RLock()
@@ -174,6 +185,7 @@ class AsyncRGBDPipeline:
                                                daemon=True)
         self._fetcher.start()
         self._supervisor.start()
+        self._uploader.start()
         self._mapper.start()
         if self._loop_thread is not None:
             self._loop_thread.start()
@@ -193,6 +205,7 @@ class AsyncRGBDPipeline:
         self._ring.append((fid, ts, gray, depth, rgb))
 
         if self._failed_at is not None:
+            self._drain_pending_uploads()
             self._recover()
             if self._recovered_to >= fid:
                 # the recovery replay already tracked this frame through
@@ -208,32 +221,71 @@ class AsyncRGBDPipeline:
                 self._enter_async()
             return
 
-        # --- async steady state ---
+        # --- async steady state: hand the frame to the uploader, then
+        # dispatch the OLDEST uploaded frame (one-frame lookahead so the
+        # host->device transfer overlaps device compute; dispatch order
+        # is preserved because both queues are FIFO and only this thread
+        # pushes/pops) ---
         self.tracker.frame_id = fid
-        with profiling.stage("pipeline/backpressure"):
-            self._inflight_sem.acquire()
-        pub = self._published
-        self._apply_pending_carry_deltas(pub)
         th = 3.0
         if fid - self.tracker.last_reloc_frame_id < int(self.cfg.camera.fps):
             th = 5.0
         min_inl = self.cfg.tracking.local_map_min_inliers
         if fid - self.tracker.last_reloc_frame_id < int(self.cfg.camera.fps):
             min_inl = self.cfg.tracking.local_map_min_inliers_after_reloc
-        # upload diet: u8 gray + u16 depth (the dataset's native format,
-        # e.g. 0.2 mm quantization for TUM) is 40% of the f32 bytes —
-        # upload bandwidth serializes with device compute on networked
-        # TPUs. Depths beyond the u16 range are INVALIDATED (0 = no
-        # depth), not saturated: a clipped far point would otherwise get
-        # a corrupted pseudo-stereo constraint.
-        with profiling.stage("pipeline/upload"):
-            qf = float(self.cfg.depth_map_factor) or 5000.0
-            d = np.asarray(depth) * qf
-            depth_u16 = np.where(d > 65535.0, 0.0, d).astype(np.uint16)
-            gray_u8, depth_f32, ctrl = jax.device_put(
-                (np.asarray(gray, dtype=np.uint8), depth_u16,
-                 np.asarray([th, float(min_inl), 1.0, 1.0 / qf],
-                            dtype=np.float32)))
+        self._upload_q.put((fid, ts, gray, depth, rgb, th, min_inl))
+        self._pending_uploads += 1
+        if self._pending_uploads > 1:
+            self._dispatch_one()
+
+    def _upload_loop(self):
+        """Uploader thread: image conversion + device_put. Upload diet:
+        u8 gray + u16 depth (the dataset's native format, e.g. 0.2 mm
+        quantization for TUM) is 40% of the f32 bytes — upload bandwidth
+        serializes with device compute on networked TPUs. Depths beyond
+        the u16 range are INVALIDATED (0 = no depth), not saturated: a
+        clipped far point would otherwise get a corrupted pseudo-stereo
+        constraint."""
+        qf = float(self.cfg.depth_map_factor) or 5000.0
+        while self._running:
+            item = self._upload_q.get()
+            if item is None:
+                return
+            fid, ts, gray, depth, rgb, th, min_inl = item
+            try:
+                with profiling.stage("pipeline/upload"):
+                    d = np.asarray(depth) * qf
+                    depth_u16 = np.where(d > 65535.0, 0.0,
+                                         d).astype(np.uint16)
+                    dev = jax.device_put(
+                        (np.asarray(gray, dtype=np.uint8), depth_u16,
+                         np.asarray([th, float(min_inl), 1.0, 1.0 / qf],
+                                    dtype=np.float32)))
+            except Exception as e:  # pragma: no cover - surfaced at
+                self._uploaded_q.put((fid, ts, e, rgb))  # dispatch time
+                continue
+            self._uploaded_q.put((fid, ts, dev, rgb))
+
+    def _drain_pending_uploads(self):
+        """Discard queued-but-undispatched frames (main thread): they
+        remain in the ring, and the recovery replay re-tracks them
+        through the synchronous state machine."""
+        while self._pending_uploads > 0:
+            self._uploaded_q.get()
+            self._pending_uploads -= 1
+
+    def _dispatch_one(self) -> None:
+        """Dispatch the oldest uploaded frame into the device recurrence
+        (main thread)."""
+        fid, ts, dev, rgb = self._uploaded_q.get()
+        self._pending_uploads -= 1
+        if isinstance(dev, Exception):
+            raise dev
+        gray_u8, depth_f32, ctrl = dev
+        with profiling.stage("pipeline/backpressure"):
+            self._inflight_sem.acquire()
+        pub = self._published
+        self._apply_pending_carry_deltas(pub)
         with profiling.stage("pipeline/dispatch"):
             self._carry, packed, f = pipeline_step.fused_frame_step(
                 self.cfg, self._carry, gray_u8, depth_f32, ctrl,
@@ -247,15 +299,13 @@ class AsyncRGBDPipeline:
         # (~70 ms per batch measured, the end-to-end fps ceiling)
         if hasattr(packed, "copy_to_host_async"):
             packed.copy_to_host_async()
-        # ALSO prefetch the frame's feature arrays: if the supervisor
-        # promotes this frame to a keyframe, its blocking fetch
-        # (~82 KB, measured 160 ms mean inside the lock-held
-        # supervision) becomes a ready host copy. ~2.5 MB/s of extra
-        # tunnel traffic at 30 fps — noise next to the image uploads.
-        for arr in (f.xy, f.ur, f.depth, f.desc, f.level, f.angle,
-                    f.valid, f.inv_sigma2, f.response):
-            if hasattr(arr, "copy_to_host_async"):
-                arr.copy_to_host_async()
+        # ONE async device->host copy per frame — everything the
+        # supervisor needs (pose, bindings, xy/ur/inv_sigma2 for the
+        # refinement log) rides inside `packed`; keyframe promotion
+        # (~1 frame in 10) does ONE batched fetch. The r4/r5 pattern of
+        # 10 copy_to_host_async calls per frame flipped the
+        # networked-TPU tunnel into a sticky degraded mode (~25 ms RTT,
+        # measured) and was the real end-to-end fps cap.
         with self._pending_cv:
             self._pending_results += 1
         self._fetch_q.put(_InFlight(fid=fid, ts=ts, packed=packed, frame=f,
@@ -266,6 +316,8 @@ class AsyncRGBDPipeline:
     def flush(self) -> None:
         """Drain all in-flight frames, their supervision, any queued
         local-mapping work, and any queued loop-closing work."""
+        while self._pending_uploads > 0:
+            self._dispatch_one()
         with self._pending_cv:
             while self._pending_results > 0:
                 self._pending_cv.wait(timeout=0.1)
@@ -281,8 +333,10 @@ class AsyncRGBDPipeline:
         self._fetch_q.put(None)
         self._result_q.put(None)
         self._kf_q.put(None)
+        self._upload_q.put(None)
         if self._loop_q is not None:
             self._loop_q.put(None)
+        self._uploader.join(timeout=5.0)
         self._fetcher.join(timeout=5.0)
         self._supervisor.join(timeout=5.0)
         self._mapper.join(timeout=5.0)
@@ -634,6 +688,10 @@ class AsyncRGBDPipeline:
             R, tt = R @ Ainv[:3, :3], R @ Ainv[:3, 3] + tt
         cur_obs = packed[S + 12:S + 12 + N].astype(np.int64)
         visible = packed[S + 12 + N:S + 12 + N + LOCAL_POINT_CAP] > 0.5
+        base = S + 12 + N + LOCAL_POINT_CAP
+        f_xy = packed[base:base + 2 * N].reshape(N, 2)
+        f_ur = packed[base + 2 * N:base + 3 * N]
+        f_is2 = packed[base + 3 * N:base + 4 * N]
 
         if self._failed_at is not None and inflight.fid > self._failed_at:
             ok = False   # everything after a failure is untrusted
@@ -683,7 +741,6 @@ class AsyncRGBDPipeline:
             Tcw[:3, :3] = R
             Tcw[:3, 3] = tt
             ref, Trw = t.ref_kf, self.map.kf_Tcw(t.ref_kf)
-        f = inflight.frame
         fake_cur = np.where(self.map.mp_exists[np.clip(cur_obs, 0, None)]
                             & (cur_obs >= 0), cur_obs, -1)
         from .tracking import obs_snapshot
@@ -691,8 +748,8 @@ class AsyncRGBDPipeline:
             timestamp=inflight.ts, ref_kf=ref,
             Tcr=Tcw @ np.linalg.inv(Trw), lost=False,
             # binding snapshot for the final trajectory refinement
-            # (frame arrays were prefetched to host at dispatch)
-            obs=obs_snapshot(fake_cur, f.xy, f.ur, f.inv_sigma2)))
+            # (keypoint xy/ur/inv_sigma2 ride inside `packed`)
+            obs=obs_snapshot(fake_cur, f_xy, f_ur, f_is2)))
 
         # keyframe policy (reference: src/Tracking.cc:1261-1358), with the
         # reference's local-mapping backpressure (:1340-1350): while the
@@ -717,7 +774,8 @@ class AsyncRGBDPipeline:
         if (not t.only_tracking
                 and (not mapper_busy or c1a_force)
                 and t._need_new_keyframe(
-                    f, fake_cur, (close_tracked, close_untracked),
+                    inflight.frame, fake_cur,
+                    (close_tracked, close_untracked),
                     fid=inflight.fid)):
             with profiling.stage("pipeline/create_kf"):
                 self._create_keyframe(inflight, R, tt, fake_cur)

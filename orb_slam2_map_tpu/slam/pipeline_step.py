@@ -334,8 +334,15 @@ def fused_frame_step(cfg: SystemConfig, carry: TrackCarry,
                    n_vo.astype(jnp.float32)]),
         lm.R.reshape(-1), lm.t,
     ])
+    # the per-frame refinement log (xy/ur/inv_sigma2 of every keypoint)
+    # rides in the SAME packed array: the supervisor consumes it every
+    # frame, and issuing separate copy_to_host_async calls per array
+    # (r4/r5 behavior: 10 small async copies per frame) degrades the
+    # networked-TPU tunnel into a sticky ~25 ms-RTT mode that capped the
+    # whole pipeline at ~28 fps. One array, one copy, tunnel stays fast.
     packed = jnp.concatenate([head, lm.cur_obs.astype(jnp.float32),
-                              lm.visible.astype(jnp.float32)])
+                              lm.visible.astype(jnp.float32),
+                              f.xy.reshape(-1), f.ur, f.inv_sigma2])
     return new_carry, packed, f
 
 
