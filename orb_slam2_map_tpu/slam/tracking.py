@@ -28,6 +28,7 @@ from ..optim import epnp, pose_opt
 from . import frame as frame_mod
 from . import pipeline_step
 from . import search
+from ..utils import profiling
 from .frame import Frame
 from .mapstore import MapStore
 
@@ -206,6 +207,8 @@ class Tracker:
 
     def _track(self, ts: float, f: Optional[Frame], rgb=None,
                depth_img=None, gray=None):
+        self._cur_ts = ts   # read by the relocalization motion gate
+
         def build():
             return frame_mod.build_rgbd_frame(self.cfg, gray, depth_img)
 
@@ -738,10 +741,67 @@ class Tracker:
                     if n_good < 30:  # second pass needs 30..50 (ref :1774)
                         break
             if n_good >= min_inl:
+                if self._reloc_aliased(R_cur, t_cur):
+                    continue
                 f = frame_mod.set_pose(f, R_cur, t_cur)
                 self.ref_kf = int(kid)
                 return True, f, cur_obs
         return False, f, empty
+
+    def _reloc_aliased(self, R_cur, t_cur) -> bool:
+        """Motion-prior gate against ALIASED relocalization: a tracking
+        dropout in a live run (motion blur, a texture-poor wall) is not
+        a kidnap — the camera is within (speed x lost-duration) of its
+        last supervised pose. Repetitive texture yields reloc candidates
+        one lattice period off that pass every inlier gate (r5
+        diagnostics: a wrong-anchor reloc tracked smoothly-but-wrong for
+        ~20 frames, breaking the map by 20-30 cm — damage no later loop
+        closure or GBA can undo, since every observation after it is
+        consistent with the broken geometry). The reference accepts any
+        ≥50-inlier reloc (src/Tracking.cc:1800); this gate only
+        activates within 3 s of an async-declared failure, so true
+        kidnaps still relocalize after the window expires."""
+        if not self.failure_ts:
+            return False
+        prior = getattr(self, "async_pose", None)
+        if prior is None:
+            return False
+        ts_now = getattr(self, "_cur_ts", None)
+        if ts_now is None:
+            return False
+        lost_dur = ts_now - self.failure_ts[-1]
+        if not (0.0 <= lost_dur <= 3.0):
+            return False
+        Rp, tp = prior
+        c_prior = -Rp.T @ tp
+        # constant-velocity prediction from the recent trajectory log:
+        # the camera may be FAST (the synthetic orbit moves ~2 m/s), so
+        # the prior center alone over-rejects; extrapolate it
+        c_pred = c_prior
+        recent = [(lg.timestamp, lg.ref_kf, lg.Tcr)
+                  for lg in self.logs[-8:] if not lg.lost
+                  and lg.ref_kf >= 0 and self.map.kf_exists[lg.ref_kf]]
+        if len(recent) >= 2:
+            (ta, ra, Ta), (tb, rb, Tb) = recent[0], recent[-1]
+            if tb - ta > 1e-3:
+                Twa = np.linalg.inv(Ta @ self.map.kf_Tcw(ra))
+                Twb = np.linalg.inv(Tb @ self.map.kf_Tcw(rb))
+                v = (Twb[:3, 3] - Twa[:3, 3]) / (tb - ta)
+                c_pred = Twb[:3, 3] + v * max(ts_now - tb, 0.0)
+        jump = float(np.linalg.norm(-R_cur.T @ t_cur - c_pred))
+        # uncertainty growth (0.5 m/s unmodeled velocity error) plus a
+        # quadratic curvature term (turning at ~3 m/s^2 bends the true
+        # path away from the constant-velocity prediction)
+        limit = 0.25 + 0.5 * lost_dur + 1.5 * lost_dur * lost_dur
+        if jump > limit:
+            import sys
+            print(f"[tracking] reloc rejected by motion gate: "
+                  f"{jump*100:.0f} cm jump after {lost_dur:.2f}s lost "
+                  f"(limit {limit*100:.0f} cm)", file=sys.stderr)
+            profiling.PROFILER.add_sample("tracking/reloc_alias_rejected",
+                                          jump * 1000.0)
+            return True
+        return False
 
     def _reloc_rescue(self, f: Frame, kid: int, R, t, cur_obs, th):
         """One projection-rescue round: match the candidate KF's map
@@ -951,7 +1011,17 @@ class Tracker:
         once costs one dispatch, so the trajectory inherits the
         corrected map's accuracy instead of the live drift."""
         ts, mats, obs_list, suspect = [], [], [], []
+        # suspect window around each declared tracking failure: frames
+        # shortly BEFORE it carry the degradation that caused it
+        # (confident ghost matches), and frames shortly AFTER it come
+        # from the relocalization replay — a reloc that lands one
+        # texture period off tracks smoothly-but-wrong for tens of
+        # frames (r5 diagnostics: 20-26 cm errors clustered in the 1.5 s
+        # after failures, with 50-120 "inliers" whose ground-truth
+        # reprojection was off by orders of magnitude). Both sides are
+        # refinement-excluded and interpolate from anchored neighbors.
         pre_w = 20.0 / max(self.cfg.camera.fps, 1.0)
+        post_w = 45.0 / max(self.cfg.camera.fps, 1.0)
         for log in self.logs:
             if log.lost:
                 continue
@@ -969,7 +1039,7 @@ class Tracker:
             ts.append(log.timestamp)
             mats.append(Twc)
             obs_list.append(log.obs)
-            suspect.append(any(0.0 <= ft - log.timestamp <= pre_w
+            suspect.append(any(-post_w <= ft - log.timestamp <= pre_w
                                for ft in self.failure_ts))
         mats = np.asarray(mats)
         if refine and len(mats) and any(o is not None for o in obs_list):
