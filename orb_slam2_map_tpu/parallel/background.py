@@ -176,6 +176,8 @@ class BackgroundGBA:
             return False
         kfs, R, t, mids, X, snap = staged
         m = self.map
+        if not self._staged_improves(kfs, R, t, mids, X):
+            return False
         # anchor for the tracker-consistency transform: the newest live
         # keyframe (the tracker's reference neighborhood)
         live = m.keyframe_ids()
@@ -248,6 +250,63 @@ class BackgroundGBA:
             A = m.kf_Twc(anchor) @ anchor_Tcw_old
             if float(np.abs(A - np.eye(4)).max()) > 1e-9:
                 self.on_transform(A)
+        return True
+
+    def _staged_improves(self, kfs, R, t, mids, X) -> bool:
+        """Merge-quality gate: global BA minimizes reprojection error,
+        so a staged result that reprojects WORSE than the live map on a
+        sample of observations has diverged or gone stale (the live map
+        kept improving under continuous local BA while the worker ran).
+        The r5 per-correction accounting caught such a merge moving KF
+        ATE 1.1 -> 5.7 cm; the reference has no equivalent window (its
+        GBA merges under the map mutex immediately,
+        src/LoopClosing.cc:660-741)."""
+        m = self.map
+        cam = self.cfg.camera
+        alive_k = [i for i, k in enumerate(kfs) if m.kf_exists[k]]
+        if not alive_k:
+            return False
+        rng = np.random.default_rng(0)
+        sample = rng.choice(alive_k, min(16, len(alive_k)), replace=False)
+        pos_idx = np.full(m.M, -1, dtype=np.int64)
+        pos_idx[mids] = np.arange(len(mids))
+
+        def med_err(use_staged: bool) -> float:
+            errs = []
+            for i in sample:
+                k = int(kfs[i])
+                obs = m.kf_obs[k]
+                rows = np.nonzero((obs >= 0)
+                                  & m.mp_exists[np.clip(obs, 0, None)])[0]
+                if len(rows) == 0:
+                    continue
+                pm = obs[rows]
+                if use_staged:
+                    si = pos_idx[pm]
+                    Xw = np.where((si >= 0)[:, None], X[np.clip(si, 0, None)],
+                                  m.mp_pos[pm])
+                    Rk, tk = R[i], t[i]
+                else:
+                    Xw = m.mp_pos[pm]
+                    Rk, tk = m.kf_R[k], m.kf_t[k]
+                Xc = Xw @ Rk.T + tk
+                z = np.maximum(Xc[:, 2], 1e-6)
+                u = cam.fx * Xc[:, 0] / z + cam.cx
+                v = cam.fy * Xc[:, 1] / z + cam.cy
+                e = np.hypot(u - m.kf_xy[k][rows, 0],
+                             v - m.kf_xy[k][rows, 1])
+                errs.append(e)
+            if not errs:
+                return float("inf")
+            return float(np.median(np.concatenate(errs)))
+
+        live, staged = med_err(False), med_err(True)
+        if staged > live * 1.15 + 0.1:
+            import sys
+            print(f"[background_gba] staged result rejected: sample "
+                  f"median reprojection {staged:.2f} px vs live "
+                  f"{live:.2f} px", file=sys.stderr)
+            return False
         return True
 
     def wait(self, timeout: Optional[float] = None):
